@@ -1,0 +1,177 @@
+package graft
+
+import graft.sources.TpchGraph
+
+/**
+ * ANSI-SQL (DuckDB-runnable) oracles for the graph queries. Iterative
+ * kernels (PageRank / CC / LPA) are unrolled to a fixed superstep count as
+ * chained CTEs — both the Spark query and the oracle run EXACTLY k rounds,
+ * so results match independently of convergence behavior. Float outputs are
+ * emitted as `CAST(ROUND(value * 1e9) AS BIGINT)` on both sides so the
+ * driver's hash compare sees identical int64s (double associativity across
+ * partitionings only perturbs ~1e-15 relative, far below the rounding
+ * grain).
+ */
+object Oracles {
+
+  private val E = TpchGraph.edgesSql
+  private val S = TpchGraph.symEdgesSql
+
+  private def verts(edges: String): String =
+    s"""SELECT id FROM (SELECT src AS id FROM edges
+       | UNION SELECT dst AS id FROM edges) AS vv""".stripMargin
+
+  val graphEdges: String =
+    s"SELECT src, dst FROM ($E) AS e ORDER BY src, dst"
+
+  val graphSymmetrize: String =
+    s"SELECT src, dst FROM ($S) AS e ORDER BY src, dst"
+
+  val graphOrient: String =
+    s"SELECT src, dst FROM ($S) AS e WHERE src < dst ORDER BY src, dst"
+
+  val graphDegrees: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")})
+       |SELECT v.id,
+       |       CAST(COALESCE(o.c, 0) AS BIGINT) AS outdeg,
+       |       CAST(COALESCE(i.c, 0) AS BIGINT) AS indeg
+       |FROM v
+       |LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.id
+       |LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.id
+       |ORDER BY v.id""".stripMargin
+
+  val graphDegreeHist: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS (SELECT v.id, CAST(COALESCE(o.c, 0) AS BIGINT) AS outdeg
+       |        FROM v LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o
+       |        ON v.id = o.id)
+       |SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       |FROM deg GROUP BY outdeg ORDER BY outdeg""".stripMargin
+
+  val graphHubs: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)
+       |SELECT id, outdeg FROM deg
+       |WHERE outdeg >= 2 * (SELECT AVG(outdeg) FROM deg)
+       |ORDER BY id""".stripMargin
+
+  val graphRelabel: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS (SELECT v.id,
+       |          CAST(COALESCE(o.c, 0) + COALESCE(i.c, 0) AS BIGINT) AS d
+       |        FROM v
+       |        LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.id
+       |        LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.id)
+       |SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY d DESC, id ASC) - 1 AS BIGINT) AS new_id
+       |FROM deg ORDER BY id""".stripMargin
+
+  /** k unrolled pull-topo PageRank iterations; ranks as round(v*1e9). */
+  def pagerank(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT v.id, bs.b + 0.85 * COALESCE(c.s, 0.0) AS value
+         |  FROM v CROSS JOIN bs
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(s.value / d.outdeg) AS s
+         |    FROM edges e
+         |    JOIN s${i - 1} s ON e.src = s.id
+         |    JOIN deg d ON e.src = d.id
+         |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+       |bs AS (SELECT 0.15 / n AS b FROM nv),
+       |s0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nv) AS value FROM v),
+       |$iters
+       |SELECT id, CAST(ROUND(value * 1000000000) AS BIGINT) AS rank_n
+       |FROM s$k ORDER BY id""".stripMargin
+  }
+
+  def pagerankTop20(k: Int): String = {
+    val inner = pagerank(k)
+    // re-sort the ranked output by (rank desc, id desc) — reference printTop
+    // tie-break (PageRank-constants.h:61-65) — and keep 20.
+    s"""SELECT id, rank_n FROM ($inner) AS r
+       |ORDER BY rank_n DESC, id DESC LIMIT 20""".stripMargin
+  }
+
+  /** k unrolled min-label rounds; `sym` picks the edge orientation. */
+  private def minLabelRounds(k: Int, sym: Boolean, outCol: String): String = {
+    val src = if (sym) S else E
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id, LEAST(p.c, COALESCE(m.mc, p.c)) AS c
+         |  FROM s${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, MIN(s.c) AS mc
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.id
+         |    GROUP BY e.dst) m ON p.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($src),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |s0 AS MATERIALIZED (SELECT id, id AS c FROM v),
+       |$iters
+       |SELECT id, c AS $outCol FROM s$k ORDER BY id""".stripMargin
+  }
+
+  /** CC: min-label over the symmetrized graph; 20 rounds ≫ diameter at the
+    * driver's scales (fixpoint is asserted in the test suite). */
+  def cc(k: Int = 20): String = minLabelRounds(k, sym = true, "comp")
+
+  def ccSizes(k: Int = 20): String =
+    s"""SELECT comp, CAST(COUNT(*) AS BIGINT) AS size
+       |FROM (${cc(k)}) AS c GROUP BY comp ORDER BY comp""".stripMargin
+
+  /** LPA min-combine over the DIRECTED graph, k rounds. */
+  def lpaMin(k: Int): String = minLabelRounds(k, sym = false, "label")
+
+  /** LPA mode-combine (ties → smaller label), k rounds, directed. */
+  def lpaMode(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id, COALESCE(w.msg, p.label) AS label
+         |  FROM s${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT id, msg FROM (
+         |      SELECT e.dst AS id, s.label AS msg, COUNT(*) AS cnt,
+         |             ROW_NUMBER() OVER (PARTITION BY e.dst
+         |               ORDER BY COUNT(*) DESC, s.label ASC) AS rn
+         |      FROM edges e JOIN s${i - 1} s ON e.src = s.id
+         |      GROUP BY e.dst, s.label) t
+         |    WHERE rn = 1) w ON p.id = w.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |s0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+       |$iters
+       |SELECT id, label FROM s$k ORDER BY id""".stripMargin
+  }
+
+  val triangles: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+       |FROM o e1
+       |JOIN o e2 ON e1.dst = e2.src
+       |JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
+
+  val trianglesPerVertex: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |tr AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |       FROM o e1
+       |       JOIN o e2 ON e1.dst = e2.src
+       |       JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |cr AS (SELECT id, COUNT(*) AS cnt FROM (
+       |         SELECT a AS id FROM tr
+       |         UNION ALL SELECT b AS id FROM tr
+       |         UNION ALL SELECT c AS id FROM tr) u GROUP BY id)
+       |SELECT v.id, CAST(COALESCE(cr.cnt, 0) AS BIGINT) AS triangles
+       |FROM v LEFT JOIN cr ON v.id = cr.id ORDER BY v.id""".stripMargin
+}

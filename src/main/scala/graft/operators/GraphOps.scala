@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Edge-table transformations — the Spark-native equivalents of the
+ * reference's `graph-convert` tools (see /root/reference/tools/graph-convert/
+ * graph-convert.cpp: gr2cgr :151-152, gr2sgr :172-174, gr2tgr :185,
+ * gr2trigr :187-188, gr2sorteddegreegr :175-183) and `graph-stats`
+ * (tools/graph-stats/graph-stats.cpp:31-50).
+ *
+ * All operate on a plain edge DataFrame with columns (src: Long, dst: Long).
+ * The CSR layout of the reference (LC_CSR_Graph.h:169-175) is just an edge
+ * list sorted/bucketed by src; we keep edge rows and let [[Adjacency]] build
+ * the blocked form when an algorithm wants it.
+ */
+object GraphOps {
+
+  /** gr2cgr: drop self-loops and duplicate edges (graph-convert.cpp:151-152). */
+  def clean(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst")).dropDuplicates("src", "dst")
+
+  /** gr2tgr: transpose (graph-convert.cpp:185; LC_CSR_Graph.h:677). */
+  def transpose(edges: DataFrame): DataFrame =
+    edges.select(col("dst").as("src"), col("src").as("dst"))
+
+  /** gr2sgr: symmetrize — materialize both directions (graph-convert.cpp:172-174). */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select("src", "dst").union(transpose(edges)).dropDuplicates("src", "dst")
+
+  /** gr2trigr: symmetric → upper-triangular, one row per undirected edge
+    * (graph-convert.cpp:187-188). */
+  def orientUpper(edges: DataFrame): DataFrame =
+    symmetrize(edges).filter(col("src") < col("dst"))
+
+  /** Distinct vertex ids appearing as either endpoint. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** computeOutDeg (PageRank-pull.cpp:90-127): out-degree per source. */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+
+  /** Full (out, in) degree table over all vertices; missing side = 0. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    vertices(edges)
+      .join(out, Seq("id"), "left")
+      .join(in, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+
+  /** graph-stats (graph-stats.cpp:31-50): out-degree histogram. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("outdeg").agg(count(lit(1)).as("n_vertices"))
+
+  /** Hub detection — vertices whose out-degree exceeds `factor`× the mean
+    * out-degree; the skew-detection pass feeding edge tiling / salting
+    * (cf. EDGE_TILE_SIZE tiling, PageRank-push.cpp:143-154). */
+  def hubs(edges: DataFrame, factor: Double = 2.0): DataFrame = {
+    val deg = outDegrees(edges)
+    val mean = deg.agg(avg(col("outdeg"))).first().getDouble(0)
+    deg.filter(col("outdeg") >= lit(factor * mean))
+  }
+
+  /** gr2sorteddegreegr (graph-convert.cpp:175-183): relabel vertices in
+    * descending-degree order (ties → smaller original id first), as a
+    * (id, new_id) dictionary. Mirrors Triangles.cpp:355-478 makeSortedGraph. */
+  def relabelByDegree(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+      .select(col("id"), (col("outdeg") + col("indeg")).as("d"))
+    // Global rank: a single total order. At 100 TB one would range-partition
+    // by a sampled degree histogram; row_number over a global sort is fine
+    // for the dictionary (O(V), not O(E)).
+    val w = Window.orderBy(col("d").desc, col("id").asc)
+    deg.select(col("id"), (row_number().over(w) - 1).cast("long").as("new_id"))
+  }
+
+  /** Apply a relabel dictionary to an edge table (two broadcast-or-shuffle
+    * hash joins, like the reference's offline re-id pass). */
+  def applyRelabel(edges: DataFrame, dict: DataFrame): DataFrame = {
+    val dSrc = dict.select(col("id").as("src"), col("new_id").as("new_src"))
+    val dDst = dict.select(col("id").as("dst"), col("new_id").as("new_dst"))
+    edges.join(dSrc, "src").join(dDst, "dst")
+      .select(col("new_src").as("src"), col("new_dst").as("dst"))
+  }
+}

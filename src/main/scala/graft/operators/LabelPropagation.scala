@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Label propagation — the reference's label-propagation kernel
+ * (ConnectedComponents.cpp:183-230) exposed as a standalone operator over
+ * an arbitrary (here: directed) edge orientation, per the north rule's
+ * "label propagation" as distinct from CC (SURVEY.md §2.4). Labels start
+ * as the vertex id; each synchronous round a vertex takes the minimum of
+ * its own label and its in-neighbors' labels (along src→dst edges).
+ *
+ * `runMin` — k rounds or to fixpoint, min combine (deterministic).
+ * `runMode` — classic community LPA: most frequent incoming label, ties
+ *             broken by the smaller label, still deterministic.
+ */
+object LabelPropagation {
+
+  /** k synchronous min-combine rounds along edge direction. k <= 0 → run
+    * to fixpoint. Output: (id, label). */
+  def runMin(adj: Adjacency, k: Int, maxIter: Int = 1000): DataFrame = {
+    var state = adj.vertices.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var done = false
+    val limit = if (k > 0) k else maxIter
+    while (!done && round < limit) {
+      val mins = adj.blocks
+        .join(state, adj.blocks("src") === state("id"))
+        .select(explode(col("dsts")).as("id"), col("label").as("msg"))
+        .groupBy("id").agg(min(col("msg")).as("msg"))
+      val next = state
+        .join(mins, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("msg"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (k > 0) { next.count(); done = false }
+      else {
+        val changed = next.join(
+          state.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).count()
+        done = changed == 0
+      }
+      round += 1
+      state.unpersist()
+      state = next
+    }
+    state
+  }
+
+  /** k synchronous mode-combine rounds (community LPA). A vertex with no
+    * in-neighbors keeps its label. Ties: smaller label wins. */
+  def runMode(adj: Adjacency, k: Int): DataFrame = {
+    var state = adj.vertices.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to k) {
+      val counts = adj.blocks
+        .join(state, adj.blocks("src") === state("id"))
+        .select(explode(col("dsts")).as("id"), col("label").as("msg"))
+        .groupBy("id", "msg").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cnt").desc, col("msg").asc)
+      val winners = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("msg"))
+      val next = state
+        .join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("msg"), col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      state.unpersist()
+      state = next
+    }
+    state
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.plans.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable.ArrayBuffer
+
+/** One superstep's runtime stats (the reference's -statFile rows). */
+final case class IterMetric(superstep: Int, l1Residual: Double,
+    edgesProcessed: Long, millis: Long)
+
+final case class PageRankResult(ranks: DataFrame, iterations: Int,
+    converged: Boolean, metrics: Seq[IterMetric])
+
+/**
+ * PageRank over a CSR-blocked adjacency, matching the reference's numeric
+ * semantics exactly:
+ *
+ *  - damping ALPHA = 0.85, INIT_RESIDUAL = 1-ALPHA
+ *    (PageRank-constants.h:32-33)
+ *  - pull-topological recurrence `new = ALPHA * Σ_{u→v} value(u)/nout(u)
+ *    + (1-ALPHA)/N`, convergence on the global L1 residual
+ *    Σ|new-old| ≤ tolerance (PageRank-pull.cpp:201-281)
+ *  - push-sync residual propagation: vertices with residual > tolerance
+ *    flush `value += r` and scatter `r*ALPHA/outdeg` to out-neighbors;
+ *    terminate when the frontier is empty (PageRank-push.cpp:103-190)
+ *  - dangling vertices: NO mass redistribution — `value/nout` only where
+ *    nout > 0, lost mass stays lost (PageRank-pull.cpp:155-156,241)
+ *
+ * Each superstep is one Catalyst-planned job: state (O(V)) shuffles onto the
+ * adjacency's stable src-partitioning, contributions partially aggregate
+ * map-side before the single O(E)→O(V) shuffle on dst, and the convergence
+ * check is an `agg` action. Every `checkpointEvery` supersteps the state is
+ * committed to the SnapshotStore and re-read, truncating lineage and making
+ * the run resumable mid-iteration.
+ */
+object PageRank {
+
+  val Alpha = 0.85
+
+  /** Pull-topological power iteration (PageRank-pull.cpp:201-281). */
+  def runTopo(
+      adj: Adjacency,
+      tol: Double = 1e-6,
+      maxIter: Int = 1000,
+      alpha: Double = Alpha,
+      checkpointEvery: Int = 25,
+      store: Option[SnapshotStore] = None,
+      resume: Boolean = false): PageRankResult = {
+
+    // tol < 0 → fixed-iteration mode: skip the L1 join entirely (one fewer
+    // O(V) join + agg per superstep).
+    val trackResidual = tol >= 0
+    val n = adj.numVertices
+    val base = (1.0 - alpha) / n
+    val metrics = ArrayBuffer.empty[IterMetric]
+
+    val resumed = if (resume) store.flatMap(_.latest("pagerank_topo")) else None
+    var iter = resumed.map(_._1).getOrElse(0)
+    var state = resumed.map(_._2).getOrElse(
+      adj.vertices.select(col("id"), lit(1.0 / n).as("value")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      // gather: contributions value(u)/nout(u) along out-edges, combined
+      // with map-side partial aggregation before the dst shuffle.
+      val sums = adj.blocks
+        .join(state, adj.blocks("src") === state("id"))
+        .select(explode(col("dsts")).as("id"),
+          (col("value") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      var next = adj.vertices
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val l1 =
+        if (trackResidual)
+          next.join(state.withColumnRenamed("value", "prev"), "id")
+            .agg(sum(abs(col("value") - col("prev")))).first().getDouble(0)
+        else { next.count(); Double.NaN }
+
+      iter += 1
+      val ms = (System.nanoTime() - t0) / 1000000
+      metrics += IterMetric(iter, l1, adj.numEdges, ms)
+      store.foreach(_.appendMetrics("pagerank_topo", iter, l1, adj.numEdges, ms))
+      converged = l1 <= tol
+
+      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
+        val reread = store.get.commitState("pagerank_topo", iter, next)
+        next.unpersist()
+        next = reread.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      state.unpersist()
+      state = next
+    }
+    PageRankResult(state, iter, converged, metrics.toSeq)
+  }
+
+  /** Exactly `k` pull-topo iterations, no convergence check — the
+    * deterministic kernel used by the SQL-oracle correctness queries. */
+  def topoFixed(adj: Adjacency, k: Int, alpha: Double = Alpha): DataFrame =
+    runTopo(adj, tol = -1.0, maxIter = k, alpha = alpha).ranks
+
+  /**
+   * Push-sync residual PageRank (PageRank-push.cpp:103-190). Reference
+   * conventions: value starts 0, residual starts 1-ALPHA (so converged
+   * values are N× the pull-topo values); a vertex enters the frontier when
+   * residual > tolerance; dangling frontier vertices absorb their residual
+   * into value and scatter nothing.
+   */
+  def runPush(
+      adj: Adjacency,
+      tol: Double = 1e-6,
+      maxIter: Int = 1000,
+      alpha: Double = Alpha,
+      checkpointEvery: Int = 25,
+      store: Option[SnapshotStore] = None,
+      resume: Boolean = false): PageRankResult = {
+
+    val metrics = ArrayBuffer.empty[IterMetric]
+    val resumed = if (resume) store.flatMap(_.latest("pagerank_push")) else None
+    var iter = resumed.map(_._1).getOrElse(0)
+    var state = resumed.map(_._2).getOrElse(
+      adj.vertices.select(col("id"), lit(0.0).as("value"),
+        lit(1.0 - alpha).as("residual")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var frontierSize = state.filter(col("residual") > tol).count()
+    var converged = frontierSize == 0L
+
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val frontier = state.filter(col("residual") > tol)
+      // scatter: delta = residual*alpha/outdeg to each out-neighbor;
+      // the frontier filter is pushed below the join by Catalyst.
+      val deltas = adj.blocks
+        .join(frontier, adj.blocks("src") === frontier("id"))
+        .select(explode(col("dsts")).as("id"),
+          (col("residual") * alpha / col("deg")).as("d"))
+        .groupBy("id").agg(sum(col("d")).as("dsum"))
+
+      val active = col("residual") > tol
+      var next = state
+        .join(deltas, Seq("id"), "left")
+        .select(
+          col("id"),
+          (col("value") + when(active, col("residual")).otherwise(lit(0.0)))
+            .as("value"),
+          (when(active, lit(0.0)).otherwise(col("residual"))
+            + coalesce(col("dsum"), lit(0.0))).as("residual"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val row = next.agg(
+        sum(when(col("residual") > tol, 1L).otherwise(0L)),
+        sum(col("residual"))).first()
+      frontierSize = row.getLong(0)
+      val l1 = row.getDouble(1)
+
+      iter += 1
+      val ms = (System.nanoTime() - t0) / 1000000
+      metrics += IterMetric(iter, l1, adj.numEdges, ms)
+      store.foreach(_.appendMetrics("pagerank_push", iter, l1, adj.numEdges, ms))
+      converged = frontierSize == 0L
+
+      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
+        val reread = store.get.commitState("pagerank_push", iter, next)
+        next.unpersist()
+        next = reread.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      state.unpersist()
+      state = next
+    }
+    PageRankResult(state.select(col("id"), col("value")), iter, converged,
+      metrics.toSeq)
+  }
+
+  /** Top-k report (printTop, PageRank-constants.h:78-109): rank desc,
+    * ties → larger id first (comparator at :61-65). */
+  def topK(ranks: DataFrame, k: Int = 20): DataFrame =
+    ranks.orderBy(col("value").desc, col("id").desc).limit(k)
+
+  /** Sanity aggregates (PageRank-pull.cpp:354-379). */
+  def sanity(ranks: DataFrame): DataFrame =
+    ranks.agg(max(col("value")).as("max_rank"),
+      min(col("value")).as("min_rank"),
+      sum(col("value")).as("sum_rank"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions}
+import org.apache.spark.sql.functions._
+
+/**
+ * Triangle counting — the reference's orderedCount (Triangles.cpp:242-278):
+ * count each undirected triangle exactly once by imposing a total order on
+ * vertices and counting directed wedges closed by an edge that respects the
+ * order. The reference relabels by descending degree when the graph is
+ * power-law (makeSortedGraph, Triangles.cpp:355-478) so intersections run
+ * on the smallest adjacency lists; here the same effect comes from
+ * orienting every undirected edge from the lower-(degree, id) endpoint to
+ * the higher one — hubs then have small OUT-lists, which bounds the size of
+ * the self-join's per-key groups (the skew concern at scale).
+ *
+ * Count = |{(a,b,c) : a→b, b→c, a→c in the oriented edge set}| via two
+ * shuffle hash joins; exact.
+ */
+object Triangles {
+
+  /** Orient an arbitrary directed edge table: symmetrize + dedup, then keep
+    * (a,b) with (deg(a), a) < (deg(b), b). */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.clean(edges))
+    // undirected degree = out-degree in the symmetrized graph
+    val deg = sym.groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("d"))
+    val withDeg = sym
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
+    withDeg.filter(
+      (col("ds") < col("dd")) ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Exact triangle count over the (already oriented, duplicate-free) edge
+    * set. Any acyclic orientation yields the same count. */
+  def countOriented(oriented: DataFrame): Long = {
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .count()
+  }
+
+  /** End-to-end: clean → symmetrize → degree-orient → two-join count. */
+  def count(edges: DataFrame): Long = countOriented(orientByDegree(edges))
+
+  /** Per-vertex triangle participation counts (each triangle credited to
+    * all three corners), over all vertices (0 for none). */
+  def perVertex(edges: DataFrame): DataFrame = {
+    val oriented = orientByDegree(edges)
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a3"), col("dst").as("c3"))
+    val tris = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val credits = tris.select(col("a").as("id"))
+      .union(tris.select(col("b").as("id")))
+      .union(tris.select(col("c").as("id")))
+      .groupBy("id").agg(functions.count(lit(1)).as("triangles"))
+    GraphOps.vertices(edges)
+      .join(credits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}
