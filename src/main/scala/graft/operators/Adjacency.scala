@@ -41,7 +41,8 @@ object Adjacency {
   def build(
       edges: DataFrame,
       blockSize: Int = 1024,
-      numPartitions: Int = 32): Adjacency = {
+      numPartitions: Int = 32,
+      explicitVertices: Option[DataFrame] = None): Adjacency = {
 
     // Two-phase CSR build like the reference's degree-count → scatter
     // (graph-convert.cpp:3027-3050): degree pass, then tile assignment
@@ -60,7 +61,10 @@ object Adjacency {
       .repartition(numPartitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val verts = GraphOps.vertices(edges)
+    // Vertex set: endpoint ids, or an explicit table when the graph has
+    // isolated vertices (e.g. pages with no links and no in-links).
+    val verts = explicitVertices.getOrElse(GraphOps.vertices(edges))
+      .select(col("id"))
       .repartition(numPartitions, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

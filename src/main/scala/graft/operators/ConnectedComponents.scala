@@ -47,7 +47,7 @@ object ConnectedComponents {
     var state = resumed.map(_._2).getOrElse(
       adj.vertices.select(col("id"), col("id").as("comp"),
         lit(true).as("changed")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changedCount = state.filter(col("changed")).count()
 
     while (changedCount > 0 && iter < maxIter) {
@@ -63,7 +63,7 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"),
           (coalesce(col("msg"), col("comp")) < col("comp")).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // truncate iterative lineage (see PageRank)
 
       changedCount = next.filter(col("changed")).count()
       iter += 1
@@ -73,11 +73,8 @@ object ConnectedComponents {
         adj.numEdges, ms))
 
       if (store.nonEmpty && (iter % checkpointEvery == 0 || changedCount == 0)) {
-        val reread = store.get.commitState("cc", iter, next)
-        next.unpersist()
-        next = reread.persist(StorageLevel.MEMORY_AND_DISK)
+        next = store.get.commitState("cc", iter, next)
       }
-      state.unpersist()
       state = next
     }
     ComponentsResult(state.select(col("id"), col("comp")), iter,
@@ -90,7 +87,7 @@ object ConnectedComponents {
     * comp along the given edge orientation). */
   def fixedRounds(adj: Adjacency, k: Int): DataFrame = {
     var state = adj.vertices.select(col("id"), col("id").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     for (_ <- 1 to k) {
       val mins = adj.blocks
         .join(state, adj.blocks("src") === state("id"))
@@ -100,9 +97,7 @@ object ConnectedComponents {
         .join(mins, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      state.unpersist()
+        .localCheckpoint(true)
       state = next
     }
     state

@@ -23,7 +23,7 @@ object LabelPropagation {
     * to fixpoint. Output: (id, label). */
   def runMin(adj: Adjacency, k: Int, maxIter: Int = 1000): DataFrame = {
     var state = adj.vertices.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var round = 0
     var done = false
     val limit = if (k > 0) k else maxIter
@@ -36,8 +36,8 @@ object LabelPropagation {
         .join(mins, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("msg"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (k > 0) { next.count(); done = false }
+        .localCheckpoint(true) // truncate iterative lineage (see PageRank)
+      if (k > 0) done = false
       else {
         val changed = next.join(
           state.withColumnRenamed("label", "prev"), "id")
@@ -45,7 +45,6 @@ object LabelPropagation {
         done = changed == 0
       }
       round += 1
-      state.unpersist()
       state = next
     }
     state
@@ -55,7 +54,7 @@ object LabelPropagation {
     * in-neighbors keeps its label. Ties: smaller label wins. */
   def runMode(adj: Adjacency, k: Int): DataFrame = {
     var state = adj.vertices.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     for (_ <- 1 to k) {
       val counts = adj.blocks
         .join(state, adj.blocks("src") === state("id"))
@@ -70,9 +69,7 @@ object LabelPropagation {
       val next = state
         .join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("msg"), col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      state.unpersist()
+        .localCheckpoint(true)
       state = next
     }
     state

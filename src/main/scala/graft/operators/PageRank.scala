@@ -60,8 +60,7 @@ object PageRank {
     var iter = resumed.map(_._1).getOrElse(0)
     var state = resumed.map(_._2).getOrElse(
       adj.vertices.select(col("id"), lit(1.0 / n).as("value")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
+      .localCheckpoint(true)
 
     var converged = false
     while (!converged && iter < maxIter) {
@@ -73,17 +72,22 @@ object PageRank {
         .select(explode(col("dsts")).as("id"),
           (col("value") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
+      // localCheckpoint truncates the logical plan every superstep —
+      // without it the analyzed plan embeds the previous state TWICE
+      // (gather join + residual join) and grows 2^k (OOMs by iter ~15).
+      // Durability across executor loss comes from the SnapshotStore
+      // commits below, not from this (non-reliable) checkpoint.
       var next = adj.vertices
         .join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("value"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       val l1 =
         if (trackResidual)
           next.join(state.withColumnRenamed("value", "prev"), "id")
             .agg(sum(abs(col("value") - col("prev")))).first().getDouble(0)
-        else { next.count(); Double.NaN }
+        else Double.NaN
 
       iter += 1
       val ms = (System.nanoTime() - t0) / 1000000
@@ -92,11 +96,8 @@ object PageRank {
       converged = l1 <= tol
 
       if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
-        val reread = store.get.commitState("pagerank_topo", iter, next)
-        next.unpersist()
-        next = reread.persist(StorageLevel.MEMORY_AND_DISK)
+        next = store.get.commitState("pagerank_topo", iter, next)
       }
-      state.unpersist()
       state = next
     }
     PageRankResult(state, iter, converged, metrics.toSeq)
@@ -129,7 +130,7 @@ object PageRank {
     var state = resumed.map(_._2).getOrElse(
       adj.vertices.select(col("id"), lit(0.0).as("value"),
         lit(1.0 - alpha).as("residual")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var frontierSize = state.filter(col("residual") > tol).count()
     var converged = frontierSize == 0L
@@ -154,7 +155,7 @@ object PageRank {
             .as("value"),
           (when(active, lit(0.0)).otherwise(col("residual"))
             + coalesce(col("dsum"), lit(0.0))).as("residual"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       val row = next.agg(
         sum(when(col("residual") > tol, 1L).otherwise(0L)),
@@ -169,11 +170,8 @@ object PageRank {
       converged = frontierSize == 0L
 
       if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
-        val reread = store.get.commitState("pagerank_push", iter, next)
-        next.unpersist()
-        next = reread.persist(StorageLevel.MEMORY_AND_DISK)
+        next = store.get.commitState("pagerank_push", iter, next)
       }
-      state.unpersist()
       state = next
     }
     PageRankResult(state.select(col("id"), col("value")), iter, converged,

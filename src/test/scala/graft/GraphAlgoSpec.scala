@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAlgoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components match union-find oracle exactly") {
+    val res = ConnectedComponents.run(symAdj)
+    assert(res.converged)
+    val engine = labelMap(res.components)
+    val oracle = TestOracles.ccUnionFind(symEdgeArray, vertexIds)
+    assert(engine == oracle)
+    // edge-consistency verify (the reference's own check)
+    assert(ConnectedComponents.verify(web.edges, res.components))
+  }
+
+  test("component structure: isolated vertex, pair component, giant") {
+    val engine = labelMap(ConnectedComponents.run(symAdj).components)
+    val byComp = engine.groupBy(_._2).map { case (c, m) =>
+      c -> m.keys.map(origOf).toSet }
+    // {11} singleton and {12,13} pair exist as their own components
+    assert(byComp.values.exists(_ == Set(11L)))
+    assert(byComp.values.exists(_ == Set(12L, 13L)))
+    // plus at least one large component
+    assert(byComp.values.map(_.size).max > 100)
+  }
+
+  test("cc fixedRounds(k) matches k synchronous oracle rounds") {
+    val engine = labelMap(ConnectedComponents.fixedRounds(symAdj, 3))
+    val oracle = TestOracles.lpaMin(symEdgeArray, vertexIds, 3)
+    assert(engine == oracle)
+  }
+
+  test("LPA min-combine over directed edges matches oracle") {
+    val engine = labelMap(LabelPropagation.runMin(web.adjacency, 4))
+    val oracle = TestOracles.lpaMin(edgeArray, vertexIds, 4)
+    assert(engine == oracle)
+  }
+
+  test("LPA mode-combine matches oracle (deterministic ties)") {
+    val engine = labelMap(LabelPropagation.runMode(web.adjacency, 2))
+    val oracle = TestOracles.lpaMode(edgeArray, vertexIds, 2)
+    assert(engine == oracle)
+  }
+
+  test("LPA to fixpoint equals CC labels on a symmetric graph") {
+    val fix = labelMap(LabelPropagation.runMin(symAdj, k = -1))
+    val cc = labelMap(ConnectedComponents.run(symAdj).components)
+    assert(fix == cc)
+  }
+
+  test("triangle count matches brute-force oracle on the web graph") {
+    assert(Triangles.count(web.edges) == TestOracles.triangles(edgeArray))
+  }
+
+  test("triangle count on canonical shapes") {
+    assert(Triangles.count(df(Seq((1L, 2L), (2L, 3L), (3L, 1L)))) == 1L)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(Triangles.count(df(k4)) == 4L)
+    val star = (2L to 9L).map(i => (1L, i))
+    assert(Triangles.count(df(star)) == 0L)
+    // a directed 3-cycle IS a triangle after symmetrization; a directed
+    // 4-cycle is not
+    assert(Triangles.count(df(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))) == 0L)
+  }
+
+  test("triangle count is invariant under relabeling") {
+    val base = TestOracles.triangles(edgeArray)
+    val relabeled = edgeArray.map { case (a, b) => (9999L - a, 9999L - b) }
+    assert(TestOracles.triangles(relabeled) == base)
+    assert(Triangles.count(df(relabeled.toSeq)) == base)
+  }
+
+  test("per-vertex triangle credit sums to 3x count") {
+    val pv = Triangles.perVertex(web.edges)
+    val total = pv.agg(sum("triangles")).first().getLong(0)
+    assert(total == 3 * TestOracles.triangles(edgeArray))
+  }
+
+  test("graph ops: clean/symmetrize/orient/degrees invariants") {
+    val e = df(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L)))
+    val cleaned = GraphOps.clean(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cleaned == Set((1L, 2L), (2L, 1L), (2L, 3L)))
+    val sym = GraphOps.symmetrize(GraphOps.clean(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    val ori = GraphOps.orientUpper(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ori == Set((1L, 2L), (2L, 3L)))
+    val degs = GraphOps.degrees(GraphOps.clean(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(degs == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 0L, 1L)))
+  }
+
+  test("relabelByDegree assigns dense ranks by degree desc, id asc") {
+    val e = df(Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)))
+    val m = labelMap(GraphOps.relabelByDegree(e))
+    // degrees: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+}
