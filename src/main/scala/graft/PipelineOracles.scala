@@ -1,0 +1,187 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/**
+ * DuckDB oracle SQL for the training-data pipeline queries. The hash
+ * formulas mirror [[graft.functions.Hashes]] term for term (positional
+ * polynomials over ASCII codes, all < 2^63), and every float-valued output
+ * is scaled/rounded to int64 with multiply-before-divide operation order so
+ * both engines produce bit-identical values.
+ */
+object PipelineOracles {
+
+  /** strhash of a string column expression `s` (1-based char positions). */
+  private def strhashSql(s: String): String =
+    s"(list_sum(list_transform(range(1, length($s)+1), " +
+      s"i -> ascii($s[i]) * (((i*i)%251)+i))) % 1000003)"
+
+  /** Distinct word-trigram shingle list of a token-list expression `t`. */
+  private def shingleSql(t: String): String =
+    s"list_distinct(list_transform(range(0, len($t)-2), " +
+      s"i -> $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3]))"
+
+  val textTokens: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textQuality: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(ROUND(10000.0 * len(list_filter(t, x -> x IN ($stops))) / len(t)) AS BIGINT) AS stop_ratio_i4,
+       |  CAST(ROUND(10000.0 * (length(text) - len(t) + 1) / len(t)) AS BIGINT) AS avg_token_len_i4
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) x
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.langId's left fold (first-wins on ties). */
+  val textLangId: String = {
+    val markers = TextAnalysis.LangMarkers
+    val counts = markers.map { case (lang, ms) =>
+      s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS $lang"
+    }.mkString(",\n  ")
+    // fold: best = en; for each next lang, replace iff strictly greater
+    var bestVal = markers.head._1
+    var bestLab = s"'${markers.head._1}'"
+    markers.tail.foreach { case (lang, _) =>
+      bestLab = s"CASE WHEN $lang > $bestVal THEN '$lang' ELSE $bestLab END"
+      bestVal = s"CASE WHEN $lang > $bestVal THEN $lang ELSE $bestVal END"
+    }
+    val total = markers.map(_._1).mkString(" + ")
+    s"""WITH c AS (SELECT doc_id,
+       |  $counts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x)
+       |SELECT doc_id,
+       |  CASE WHEN $total = 0 THEN 'und' ELSE ($bestLab) END AS pred_lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  val textFingerprint: String =
+    s"""SELECT doc_id,
+       |  CAST(list_sum(list_transform(string_split(text, ' '),
+       |    (t, j) -> ${strhashSql("t")} * (((j-1) % 16) + 1))) % 1000003 AS BIGINT) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    """SELECT keep_id, n_docs FROM (
+      |  SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY text) g
+      |ORDER BY keep_id""".stripMargin
+
+  /** Shared CTE prefix: per-doc distinct shingle lists + sizes. */
+  private val shingleBase: String =
+    s"""base AS MATERIALIZED (
+       |  SELECT doc_id, ${shingleSql("t")} AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x
+       |  WHERE len(t) >= 3),
+       |sizes AS MATERIALIZED (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS nsh FROM base
+       |  WHERE len(sh) > 0)""".stripMargin
+
+  private def jaccardVerifySql(thresholdI4: Long): String =
+    s"""SELECT a, b, jacc_i4 FROM (
+       |  SELECT cand.a, cand.b,
+       |    CAST(ROUND(10000.0 * len(list_intersect(sa.sh, sb.sh))
+       |      / (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jacc_i4
+       |  FROM cand
+       |  JOIN sizes sa ON cand.a = sa.doc_id
+       |  JOIN sizes sb ON cand.b = sb.doc_id) z
+       |WHERE jacc_i4 >= $thresholdI4 ORDER BY a, b""".stripMargin
+
+  def dedupNgram(thresholdI4: Long = 5000, dfCap: Long = 1000): String =
+    s"""WITH $shingleBase,
+       |inv AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM base),
+       |rare AS MATERIALIZED (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= $dfCap),
+       |invr AS MATERIALIZED (SELECT doc_id, s FROM inv JOIN rare USING (s)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM invr x JOIN invr y ON x.s = y.s AND x.doc_id < y.doc_id)
+       |${jaccardVerifySql(thresholdI4)}""".stripMargin
+
+  /** MinHash LSH (numHashes=8, bands=4, rows=2) + exact-Jaccard confirm. */
+  def dedupMinhash(thresholdI4: Long = 5000): String =
+    s"""WITH $shingleBase,
+       |shs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${strhashSql("s")} AS BIGINT) AS x
+       |  FROM (SELECT doc_id, UNNEST(sh) AS s FROM base) u),
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id, r.k, MIN(((2*r.k+3)*x + r.k*r.k+7) % 1000033) AS h
+       |  FROM shs CROSS JOIN range(0, 8) r(k) GROUP BY doc_id, r.k),
+       |bandk AS MATERIALIZED (
+       |  SELECT doc_id, k // 2 AS band,
+       |    MAX(CASE WHEN k % 2 = 0 THEN h END) * 1000033
+       |      + MAX(CASE WHEN k % 2 = 1 THEN h END) AS key
+       |  FROM mh GROUP BY doc_id, k // 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bandk x JOIN bandk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |${jaccardVerifySql(thresholdI4)}""".stripMargin
+
+  private val simhashCte: String =
+    s"""tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+       |th AS MATERIALIZED (SELECT doc_id,
+       |  CAST((${strhashSql("t")} * 2654435761) % 4294967296 AS BIGINT) AS h FROM tok),
+       |bits AS (SELECT doc_id, r.b, SUM(((h // (1::BIGINT << b)) % 2) * 2 - 1) AS s
+       |         FROM th CROSS JOIN range(0, 32) r(b) GROUP BY doc_id, r.b),
+       |sim AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  def dedupSimhash(maxHamming: Int = 3): String =
+    s"""WITH $simhashCte
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+
+  private val embBase: String =
+    """e AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a.embedding)+1), " +
+      s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+
+  def embTopK(k: Int = 5, maxQueryId: Long = 10): String =
+    s"""WITH $embBase,
+       |s AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(ROUND(10000.0 * ${dotSql("q", "c")} / (sqrt(q.nrm) * sqrt(c.nrm))) AS BIGINT) AS cos_i4
+       |  FROM e q JOIN e c ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cos_i4, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_i4 DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) z
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def embNearDup(thresholdI4: Long = 3000): String =
+    s"""WITH $embBase
+       |SELECT a, b, cos_i4 FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(ROUND(10000.0 * ${dotSql("x", "y")} / (sqrt(x.nrm) * sqrt(y.nrm))) AS BIGINT) AS cos_i4
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id) z
+       |WHERE cos_i4 >= $thresholdI4 ORDER BY a, b""".stripMargin
+
+  val eventsWindow: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(ROUND(10000.0 * SUM(value)) AS BIGINT) AS sum_value_i4
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Mirrors Multimodal.decodeMeta's deterministic fake (payload = the
+    * UTF-8 text bytes; the synthetic vocab is ASCII so length(text) =
+    * byte length). */
+  val multimodalMeta: String =
+    """SELECT doc_id,
+      |  CAST(16 + (length(text) % 320) AS BIGINT) AS width,
+      |  CAST(16 + ((length(text) * 7 + ascii(text[1])) % 240) AS BIGINT) AS height,
+      |  CASE (length(text) + ascii(text[1])) % 3
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      |  CAST(length(text) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -86,7 +86,57 @@ object SparkEntry {
     }),
     "tri_per_vertex" -> ((s, d) =>
       Triangles.perVertex(TpchGraph.edges(s, d)).orderBy("id")),
+
+    // training-data pipeline: text analysis
+    "text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+
+    // training-data pipeline: deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keep_id")),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), 0.5, 1000).orderBy("a", "b")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
+        threshold = 0.5).orderBy("a", "b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), 3).orderBy("a", "b")),
+
+    // training-data pipeline: similarity search
+    "emb_topk" -> ((s, d) =>
+      Similarity.bruteTopK(emb(s, d), col("vec_id") < 10, 5)
+        .orderBy("query_id", "rank")),
+    "emb_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(emb(s, d), 0.3).orderBy("a", "b")),
+
+    // events: tumbling-window aggregation (batch form)
+    "events_window" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(lit(10000.0) * sum(col("value"))).cast("long")
+            .as("sum_value_i4"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // multimodal plumbing (decode step is a documented deterministic stub)
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.docsAsMedia(docs(s, d)))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"),
+          col("n_bytes"))
+        .orderBy("doc_id")),
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +156,17 @@ object SparkEntry {
     "lpa_mode2" -> Oracles.lpaMode(2),
     "triangles" -> Oracles.triangles,
     "tri_per_vertex" -> Oracles.trianglesPerVertex,
+    "text_tokens" -> PipelineOracles.textTokens,
+    "text_quality" -> PipelineOracles.textQuality,
+    "text_langid" -> PipelineOracles.textLangId,
+    "text_fingerprint" -> PipelineOracles.textFingerprint,
+    "dedup_exact" -> PipelineOracles.dedupExact,
+    "dedup_ngram" -> PipelineOracles.dedupNgram(5000, 1000),
+    "dedup_minhash" -> PipelineOracles.dedupMinhash(5000),
+    "dedup_simhash" -> PipelineOracles.dedupSimhash(3),
+    "emb_topk" -> PipelineOracles.embTopK(5, 10),
+    "emb_neardup" -> PipelineOracles.embNearDup(3000),
+    "events_window" -> PipelineOracles.eventsWindow,
+    "multimodal_meta" -> PipelineOracles.multimodalMeta,
   )
 }
