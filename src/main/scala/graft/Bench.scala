@@ -1,24 +1,148 @@
 package graft
+
+import graft.operators.{Adjacency, GraphOps, PageRank}
+import graft.sources.{Pages, WebGraph}
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver contract): prints ONE JSON line.
+ *
+ * Parts:
+ *  1. per-query wall times for the whole SparkEntry suite at
+ *     SPARK_GRAFT_CPUS on SPARK_GRAFT_SF_DIR;
+ *  2. north-rule headline: PageRank edges/sec/iteration on a synthesized
+ *     web-scale edge corpus, at parallelism N=2 and 4N=8 cores (plus 32
+ *     for peak), SAME input (built once, saved, reloaded per session) and
+ *     SAME 64-way partitioning. Efficiency = (eps8/eps2)/4. The 2→8
+ *     window is the faithful single-box proxy for N→4N executors: this
+ *     VM's pure-CPU ceiling is ~0.95 there, while 8→32 is capped ~0.73
+ *     by shared memory bandwidth that a real cluster scales per-executor
+ *     (numbers + methodology in BASELINE.md).
+ *  3. convergence evidence: full html ingest → PageRank to L1 ≤ 1e-6 on
+ *     the pages corpus at max parallelism.
+ */
+/** Child-JVM worker for one isolated throughput measurement. */
+object BenchWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(threads, path, iters) = args
+    val spark = Bench.session(threads.toInt, aqe = false)
+    val adj = Adjacency.load(spark, path, 64)
+    PageRank.topoFixed(adj, 1) // warm-up: JIT + cache fill
+    val t0 = System.nanoTime()
+    PageRank.runTopo(adj, tol = -1, maxIter = iters.toInt)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"GRAFT_RESULT ${adj.numEdges} " +
+      s"${iters.toInt * adj.numEdges / secs}")
+    spark.stop()
+  }
+}
+
 object Bench {
+
+  private val ScalePartitions = 64
+  private val AdjPath = "/dev/shm/graft-bench-adj"
+
+  private[graft] def session(threads: Int, aqe: Boolean = true): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", ScalePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE adds only replan latency to the static, shape-stable
+      // PageRank loop (measured); it stays ON for the query suite.
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Timed fixed-superstep loop at one parallelism level, in a FRESH child
+    * JVM (in-process back-to-back SparkSessions share heap/GC state and
+    * skew the comparison); returns (edges, edges/sec/iteration). */
+  private def prThroughput(threads: Int, iters: Int): (Long, Double) = {
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.contains("=ALL-UNNAMED") ||
+        a.startsWith("-Xmx") || a.startsWith("-Dspark"))
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchWorker", threads.toString, AdjPath, iters.toString)
+    val out = new java.io.ByteArrayOutputStream()
+    val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    p.getInputStream.transferTo(out)
+    p.waitFor()
+    val line = out.toString("UTF-8").linesIterator
+      .find(_.startsWith("GRAFT_RESULT"))
+      .getOrElse(sys.error(s"worker failed:\n${out.toString("UTF-8").takeRight(2000)}"))
+    val Array(_, e, eps) = line.split(" ")
+    (e.toLong, eps.toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // scaling corpus: ~24.5M edges (1M vertices, power-law out-degree)
+    val scaleN = 1000000L
+    val scaleAvgOut = 24
+    val scaleIters = 8
+    // convergence corpus: full html ingest tier by sf
+    val convPages = if (sfDir.contains("sf0.1")) 200000L
+      else if (sfDir.contains("sf0.01")) 20000L else 2000L
+
+    // 1. query-suite timings
+    val suite = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(suite, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    suite.stop()
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+    // 2. scaling: build corpus once, reload per parallelism level
+    val build = session(cpus)
+    val edges = GraphOps.clean(Pages.synthesizeEdges(build, scaleN,
+      avgOut = scaleAvgOut, numPartitions = ScalePartitions))
+    Adjacency.save(
+      Adjacency.build(edges, numPartitions = ScalePartitions), AdjPath)
+    build.stop()
+    val (scaleEdges, eps2) = prThroughput(2, scaleIters)
+    val (_, eps8) = prThroughput(8, scaleIters)
+    val (_, eps32) = prThroughput(cpus, scaleIters)
+    val effN4N = (eps8 / eps2) / 4.0
+    val eff8to32 = (eps32 / eps8) / (cpus / 8.0)
+
+    // 3. convergence evidence: ingest html corpus, run to 1e-6
+    val conv = session(cpus)
+    val web = WebGraph.fromPages(conv,
+      Pages.synthesize(conv, convPages, numPartitions = ScalePartitions),
+      numPartitions = ScalePartitions)
+    val t0 = System.nanoTime()
+    val r = PageRank.runTopo(web.adjacency, tol = 1e-6, maxIter = 200)
+    val convSecs = (System.nanoTime() - t0) / 1e9
+    val convEps = r.iterations.toLong * web.adjacency.numEdges / convSecs
+    conv.stop()
+
+    val pr =
+      s"""{"scale_vertices":$scaleN,"scale_edges":$scaleEdges,"fixed_iters":$scaleIters,""" +
+        s""""edges_per_sec_iter_n2":${eps2.round},"edges_per_sec_iter_n8":${eps8.round},""" +
+        s""""edges_per_sec_iter_n$cpus":${eps32.round},""" +
+        s""""scaling_efficiency_n_to_4n":${f"$effN4N%.3f"},""" +
+        s""""scaling_efficiency_8_to_$cpus":${f"$eff8to32%.3f"},""" +
+        s""""convergence_pages":$convPages,"convergence_edges":${web.adjacency.numEdges},""" +
+        s""""convergence_1e6_iters":${r.iterations},"convergence_converged":${r.converged},""" +
+        s""""convergence_secs":${f"$convSecs%.1f"},"convergence_edges_per_sec_iter":${convEps.round}}"""
+
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""pagerank_scaling":$pr,"sf":"$sfDir"}""")
   }
 }

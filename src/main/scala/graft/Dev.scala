@@ -14,6 +14,9 @@ object Dev {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -36,6 +39,54 @@ object Dev {
         val top = PageRank.topK(r.ranks, 5).collect()
           .map(x => s"${x.getLong(0)}:${f"${x.getDouble(1)}%.6f"}").mkString(" ")
         println(s"top5: $top")
+      case "buildadj" =>
+        // usage: Dev buildadj <nPages> <avgOut> <path>
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val avgOut = args.lift(2).map(_.toInt).getOrElse(24)
+        val path = args.lift(3).getOrElse("target/bench_adj")
+        val t0 = System.nanoTime()
+        val edges = graft.operators.GraphOps.clean(
+          Pages.synthesizeEdges(spark, n, avgOut = avgOut, numPartitions = 64))
+        val adj = Adjacency.build(edges, numPartitions = 64)
+        Adjacency.save(adj, path)
+        println(f"[scale] built+saved ${(System.nanoTime() - t0) / 1e9}%.1fs V=${adj.numVertices} E=${adj.numEdges} -> $path")
+      case "scaleload" =>
+        // usage: Dev scaleload <path> <iters> <chunk>
+        val path = args.lift(1).getOrElse("target/bench_adj")
+        val iters = args.lift(2).map(_.toInt).getOrElse(10)
+        val chunk = args.lift(3).map(_.toInt).getOrElse(5)
+        val adj = Adjacency.load(spark, path, numPartitions = 64)
+        if (sys.env.contains("GRAFT_EXPLAIN")) {
+          import org.apache.spark.sql.functions._
+          val st = adj.vertices.select(col("id"), lit(0.5).as("value"))
+          adj.blocks.join(st, adj.blocks("src") === st("id"))
+            .select(explode(col("dsts")).as("id"))
+            .groupBy("id").count().explain("formatted")
+        }
+        PageRank.topoFixed(adj, 1) // warm-up (JIT + cache fill)
+        val t0 = System.nanoTime()
+        PageRank.runTopo(adj, tol = -1, maxIter = iters, checkEvery = chunk)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] threads=$cpus E=${adj.numEdges} iters=$iters chunk=$chunk " +
+          f"secs=$secs%.1f eps=${iters * adj.numEdges / secs}%.3e")
+      case "probe" =>
+        import org.apache.spark.sql.functions._
+        println(s"[probe] master=${spark.sparkContext.master} defaultParallelism=${spark.sparkContext.defaultParallelism} avail=${Runtime.getRuntime.availableProcessors}")
+        // pure codegen (no shuffle)
+        var t0 = System.nanoTime()
+        for (rep <- 1 to 2) {
+          t0 = System.nanoTime()
+          spark.range(0, 2000000000L, 1, 64)
+            .select(max(xxhash64(col("id")))).first()
+          println(f"[probe] codegen-agg rep$rep: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        // shuffle-heavy groupBy (24M rows -> 1M keys)
+        t0 = System.nanoTime()
+        spark.range(0, 24000000L, 1, 64)
+          .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+            col("id").cast("double").as("v"))
+          .groupBy("k").agg(sum("v")).agg(count(lit(1))).first()
+        println(f"[probe] shuffle-agg: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       case "tpch" =>
         val t0 = System.nanoTime()
         val adj = Adjacency.build(TpchGraph.edges(spark, "/root/testdata/sf0.001"),

@@ -22,16 +22,44 @@ import org.apache.spark.storage.StorageLevel
 final case class Adjacency(
     blocks: DataFrame,    // (src, deg, dsts) — persisted, partitioned by src
     vertices: DataFrame,  // (id) — persisted, partitioned by id
+    noInbound: DataFrame, // (id) with in-degree 0 — persisted (static)
     numVertices: Long,
     numEdges: Long) {
 
   def unpersist(): Unit = {
     blocks.unpersist()
     vertices.unpersist()
+    noInbound.unpersist()
   }
 }
 
 object Adjacency {
+
+  /** Persist the blocked CSR to disk — the engine's analog of the
+    * reference's binary `.gr` file (FileGraph.cpp:202-252): build once,
+    * mmap/load many times. Layout: three parquet dirs under `path`. */
+  def save(adj: Adjacency, path: String): Unit = {
+    adj.blocks.write.mode("overwrite").parquet(s"$path/blocks")
+    adj.vertices.write.mode("overwrite").parquet(s"$path/vertices")
+    adj.noInbound.write.mode("overwrite").parquet(s"$path/no_inbound")
+  }
+
+  /** Load a saved blocked CSR (re-partitioned/persisted like build). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      numPartitions: Int = 32): Adjacency = {
+    val blocks = spark.read.parquet(s"$path/blocks")
+      .repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = spark.read.parquet(s"$path/vertices")
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val noIn = spark.read.parquet(s"$path/no_inbound")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = verts.count()
+    val nE = blocks.agg(sum(size(col("dsts")))).first().getLong(0)
+    Adjacency(blocks, verts, noIn, nV, nE)
+  }
 
   /**
    * Build from a clean edge table (no self-loops / dup edges).
@@ -59,6 +87,11 @@ object Adjacency {
       .agg(sort_array(collect_list(col("dst"))).as("dsts"))
       .select(col("src"), col("deg"), col("dsts"))
       .repartition(numPartitions, col("src"))
+      // cache SORTED within partitions: the per-superstep join then never
+      // re-sorts the O(E) side (SMJ reuses the cached ordering, and with
+      // preferSortMergeJoin=false the planner picks a shuffled hash join
+      // that streams this side against a hash of the O(V) state)
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Vertex set: endpoint ids, or an explicit table when the graph has
@@ -68,8 +101,16 @@ object Adjacency {
       .repartition(numPartitions, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // static zero-in-degree set: lets pull-topo PageRank REPLACE its
+    // per-superstep vertices-left-join with a shuffle-free union of
+    // constant base ranks (sums already covers every indeg>0 vertex).
+    val noIn = verts
+      .join(edges.select(col("dst").as("id")).distinct(), Seq("id"),
+        "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     val nV = verts.count()
     val nE = blocks.agg(sum(size(col("dsts")))).first().getLong(0)
-    Adjacency(blocks, verts, nV, nE)
+    Adjacency(blocks, verts, noIn, nV, nE)
   }
 }

@@ -39,7 +39,17 @@ object PageRank {
 
   val Alpha = 0.85
 
-  /** Pull-topological power iteration (PageRank-pull.cpp:201-281). */
+  /** Pull-topological power iteration (PageRank-pull.cpp:201-281).
+    *
+    * `checkEvery` > 1 chains that many supersteps LAZILY into one Catalyst
+    * job before materializing and testing the L1 residual — amortizing the
+    * serial per-superstep driver cost (planning, action round-trip,
+    * checkpoint write) that otherwise dominates and caps thread scaling.
+    * The residual is still a true consecutive-superstep L1 (the chunk's
+    * last two states both materialize); the only semantic difference from
+    * the reference's every-iteration check is that the loop can run up to
+    * checkEvery-1 extra supersteps past the crossing point — i.e. it stops
+    * strictly MORE converged, which the 1e-6 allclose gate absorbs. */
   def runTopo(
       adj: Adjacency,
       tol: Double = 1e-6,
@@ -47,14 +57,30 @@ object PageRank {
       alpha: Double = Alpha,
       checkpointEvery: Int = 25,
       store: Option[SnapshotStore] = None,
-      resume: Boolean = false): PageRankResult = {
+      resume: Boolean = false,
+      checkEvery: Int = 1): PageRankResult = {
 
-    // tol < 0 → fixed-iteration mode: skip the L1 join entirely (one fewer
-    // O(V) join + agg per superstep).
+    // tol < 0 → fixed-iteration mode: skip the L1 join entirely.
     val trackResidual = tol >= 0
     val n = adj.numVertices
     val base = (1.0 - alpha) / n
     val metrics = ArrayBuffer.empty[IterMetric]
+
+    // gather: contributions value(u)/nout(u) along out-edges, combined
+    // with map-side partial aggregation before the dst shuffle. The new
+    // value does not depend on the old, so instead of a vertices-left-join
+    // the (static) zero-in-degree vertices are union'd in with the bare
+    // base rank — one shuffle join + one agg per superstep, nothing else.
+    def superstep(st: DataFrame): DataFrame = {
+      val sums = adj.blocks
+        .join(st, adj.blocks("src") === st("id"))
+        .select(explode(col("dsts")).as("id"),
+          (col("value") / col("deg")).as("c"))
+        .groupBy("id").agg(
+          (lit(base) + lit(alpha) * sum(col("c"))).as("value"))
+      sums.unionAll(
+        adj.noInbound.select(col("id"), lit(base).as("value")))
+    }
 
     val resumed = if (resume) store.flatMap(_.latest("pagerank_topo")) else None
     var iter = resumed.map(_._1).getOrElse(0)
@@ -65,37 +91,35 @@ object PageRank {
     var converged = false
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      // gather: contributions value(u)/nout(u) along out-edges, combined
-      // with map-side partial aggregation before the dst shuffle.
-      val sums = adj.blocks
-        .join(state, adj.blocks("src") === state("id"))
-        .select(explode(col("dsts")).as("id"),
-          (col("value") / col("deg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
-      // localCheckpoint truncates the logical plan every superstep —
-      // without it the analyzed plan embeds the previous state TWICE
-      // (gather join + residual join) and grows 2^k (OOMs by iter ~15).
-      // Durability across executor loss comes from the SnapshotStore
-      // commits below, not from this (non-reliable) checkpoint.
-      var next = adj.vertices
-        .join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("value"))
-        .localCheckpoint(true)
+      val steps = math.min(checkEvery, maxIter - iter)
+      // localCheckpoint truncates the logical plan at every
+      // materialization — without it the analyzed plan embeds the
+      // previous state twice (gather + residual joins) and grows 2^k
+      // (OOMs by iteration ~15). Durability across executor loss comes
+      // from the SnapshotStore commits, not this non-reliable checkpoint.
+      var l1 = Double.NaN
+      var next: DataFrame = null
+      if (trackResidual) {
+        var cur = state
+        for (_ <- 1 until steps) cur = superstep(cur)
+        val penult = if (steps == 1) state else cur.localCheckpoint(true)
+        next = superstep(penult).localCheckpoint(true)
+        l1 = next.join(penult.withColumnRenamed("value", "prev"), "id")
+          .agg(sum(abs(col("value") - col("prev")))).first().getDouble(0)
+      } else {
+        var cur = state
+        for (_ <- 1 to steps) cur = superstep(cur)
+        next = cur.localCheckpoint(true)
+      }
 
-      val l1 =
-        if (trackResidual)
-          next.join(state.withColumnRenamed("value", "prev"), "id")
-            .agg(sum(abs(col("value") - col("prev")))).first().getDouble(0)
-        else Double.NaN
-
-      iter += 1
+      iter += steps
       val ms = (System.nanoTime() - t0) / 1000000
-      metrics += IterMetric(iter, l1, adj.numEdges, ms)
-      store.foreach(_.appendMetrics("pagerank_topo", iter, l1, adj.numEdges, ms))
-      converged = l1 <= tol
+      metrics += IterMetric(iter, l1, adj.numEdges * steps, ms)
+      store.foreach(_.appendMetrics("pagerank_topo", iter, l1,
+        adj.numEdges * steps, ms))
+      converged = trackResidual && l1 <= tol
 
-      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
+      if (store.nonEmpty && (iter % checkpointEvery < steps || converged)) {
         next = store.get.commitState("pagerank_topo", iter, next)
       }
       state = next

@@ -18,11 +18,11 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays in double precision
-    * (aggregate folds left in array order — engine-portable bitwise). */
+  /** Sequential-order dot product of two float arrays in double precision —
+    * a custom codegen'd Expression (see [[graft.functions.FloatDot]]);
+    * bit-compatible with the HOF/SQL formulations, ~10x faster. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.FloatDot.floatDot(a, b)
 
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (sqrt(na) * sqrt(nb))

@@ -55,27 +55,35 @@ object Pages {
   /** Reserved ids that must never be random link targets. */
   private val NeverTarget = Set(11L, 12L, 13L)
 
+  /** Out-link TARGET IDS of page `id` — the ground-truth link structure
+    * (multi-edges/self-loops included; cleaning is the graph layer's job).
+    * `avgOut` widens the random tier's degree for big benchmark corpora;
+    * the default 8 (degree 1 + h mod 16) is the fixture shape. */
+  def linkTargets(id: Long, n: Long, seed: Long, avgOut: Int = 8): Seq[Long] =
+    id match {
+      case 0L | 11L | 13L => Seq.empty
+      case 1L => Seq(2L)
+      case 2L => Seq(3L)
+      case 3L => Seq(1L)
+      case k if k >= 4 && k <= 7 => (4L to 7L).filter(_ != k)
+      case 8L =>
+        // hub: ~600 targets (> EDGE_TILE_SIZE 512 of the reference)
+        val m = math.min(n - 1, 600L)
+        (0L until m).map(i => pickTarget(seed, 8L, i, n))
+      case 9L => Seq(9L, 10L, 10L) // self-loop + duplicate
+      case 10L => Seq(9L, 9L)      // two alias forms of the same target
+      case 12L => Seq(13L)
+      case k =>
+        val deg = 1 + (pos(h(seed, k, 1)) % (2L * avgOut)).toInt
+        (0 until deg).map(i => pickTarget(seed, k, i.toLong, n))
+    }
+
   /** Intended out-link URLS (pre-normalization html forms) for page `id`. */
   def linkForms(id: Long, n: Long, seed: Long): Seq[String] = id match {
-    case 0L | 11L => Seq.empty
-    case 1L => Seq(url(2))
-    case 2L => Seq(url(3))
-    case 3L => Seq(url(1))
-    case k if k >= 4 && k <= 7 =>
-      (4L to 7L).filter(_ != k).map(url)
-    case 8L =>
-      // hub: ~600 targets (> EDGE_TILE_SIZE 512 of the reference)
-      val m = math.min(n - 1, 600L)
-      (0L until m).map(i => url(pickTarget(seed, 8L, i, n)))
-    case 9L => Seq(url(9), url(10), url(10)) // self-loop + duplicate
     case 10L =>
       // alias: fragment and trailing-slash variants of the SAME target
       Seq(url(9) + "#frag", url(9) + "/")
-    case 12L => Seq(url(13))
-    case 13L => Seq.empty
-    case k =>
-      val deg = 1 + (pos(h(seed, k, 1)) % 16).toInt
-      (0 until deg).map(i => url(pickTarget(seed, k, i.toLong, n)))
+    case k => linkTargets(k, n, seed).map(url)
   }
 
   /** Quadratically low-id-skewed target (power-law in-degree), avoiding
@@ -112,6 +120,19 @@ object Pages {
 
   /** Fixed corpus epoch: 2024-01-01T00:00:00Z (no wall clock anywhere). */
   val Epoch: Long = 1704067200000L
+
+  /** Direct deterministic synthesis of the RAW edge table (same link
+    * structure as the html corpus, in original-id space, duplicates and
+    * self-loops included) — for benchmark corpora where materializing html
+    * strings would only measure string throughput. Pass through
+    * GraphOps.clean before building an adjacency. */
+  def synthesizeEdges(spark: SparkSession, n: Long, seed: Long = 42L,
+      avgOut: Int = 8, numPartitions: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .flatMap(id => linkTargets(id, n, seed, avgOut).map(t => (id, t)))
+      .toDF("src", "dst")
+  }
 
   /** Deterministic distributed synthesis of the pages table. */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L,

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/**
+ * Structured-Streaming surface over the `events` table shape
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference is batch-only (SURVEY.md §1: "no streams anywhere in
+ * scope"); this module is part of the training-data-pipeline extension:
+ * watermarked tumbling-window aggregation and custom sessionization state —
+ * the two canonical streaming shapes. Transform functions are defined on
+ * plain Datasets so the SAME code runs in batch (testable against SQL)
+ * and behind readStream.
+ */
+object EventStream {
+
+  /** Watermarked 1-hour tumbling-window counts/sums per event type.
+    * (ts arrives as TIMESTAMP_NTZ from pandas-written parquet; event-time
+    * semantics require TIMESTAMP, hence the cast.) */
+  def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, sum_value: Double)
+  final case class SessState(sessions: List[SessionAgg])
+
+  /**
+   * Gap-based sessionization per user via mapGroupsWithState — the custom
+   * state shape the reference's worklists have no equivalent for. Works on
+   * batch Datasets too (NoTimeout), which is how the deterministic test
+   * drives it; a streaming deployment would use ProcessingTimeTimeout to
+   * emit open sessions.
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def split(evs: Iterator[Ev]): List[SessionAgg] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      if (sorted.isEmpty) Nil
+      else {
+        val out = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+        var start = sorted.head.ts; var last = sorted.head.ts
+        var n = 0; var sum = 0.0; var uid = sorted.head.user_id
+        sorted.foreach { e =>
+          if (e.ts.getTime - last.getTime > gapMs) {
+            out += SessionAgg(uid, start, last, n, sum)
+            start = e.ts; n = 0; sum = 0.0
+          }
+          last = e.ts; n += 1; sum += e.value
+        }
+        out += SessionAgg(uid, start, last, n, sum)
+        out.toList
+      }
+    }
+
+    events.select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, List[SessionAgg]](
+        GroupStateTimeout.NoTimeout)(
+        (_: Long, evs: Iterator[Ev], state: GroupState[SessState]) => {
+          val sessions = split(evs)
+          state.update(SessState(sessions))
+          sessions
+        })
+      .flatMap(identity)
+  }
+
+  /** Streaming deployment: parquet-dir source → windowed agg → named
+    * in-memory sink (tests/demos call processAllAvailable on the handle). */
+  def runWindowed(spark: SparkSession, inputDir: String,
+      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    // Complete mode: the memory sink holds every window each batch (with
+    // Append, windows newer than the final watermark would never emit —
+    // wrong shape for a finite demo/test source).
+    windowedAgg(stream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .start()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  test("streaming windowed agg over a file source equals the batch result") {
+    // file source needs a directory
+    val dir = Files.createTempDirectory(Paths.get("target"), "stream_in")
+    Files.copy(Paths.get(eventsPath), dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.runWindowed(spark, dir.toString, "win_test")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT window_start, event_type, n_events, sum_value FROM win_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = EventStream.windowedAgg(spark.read.parquet(eventsPath))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionization matches a hand-rolled oracle") {
+    val events = spark.read.parquet(eventsPath)
+    val got = EventStream.sessionize(events, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+
+    val rows = events.select(col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+    val oracle = rows.groupBy(_._2).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._1, e._3))
+      val sessions = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Int)]
+      var start = sorted.head._1; var last = sorted.head._1; var n = 0
+      sorted.foreach { case (t, _, _) =>
+        if (t - last > 30 * 60000L) {
+          sessions += ((uid, start, last, n)); start = t; n = 0
+        }
+        last = t; n += 1
+      }
+      sessions += ((uid, start, last, n))
+      sessions
+    }.toSet
+    assert(got == oracle)
+    assert(got.nonEmpty)
+  }
+
+  test("direct edge synthesis is structurally identical to html extraction") {
+    import graft.operators.GraphOps
+    val direct = GraphOps.clean(
+      graft.sources.Pages.synthesizeEdges(spark, N, numPartitions = 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // html path produces dense relabeled ids; map back to original ids
+    val viaHtml = edgeArray.map { case (s, d) => (origOf(s), origOf(d)) }.toSet
+    assert(direct == viaHtml)
+  }
+}
