@@ -92,6 +92,43 @@ object Oracles {
        |FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** k unrolled push-sync rounds (PageRank-push.cpp:103-190): value starts
+    * 0, residual starts (1.0 - 0.85) — written EXACTLY so both engines
+    * compute the same double; active = residual > 0 contributes
+    * (residual*0.85)/outdeg to each out-neighbor's residual. */
+  def pagerankPush(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id,
+         |    p.value + CASE WHEN p.residual > 0 THEN p.residual ELSE 0.0 END AS value,
+         |    (CASE WHEN p.residual > 0 THEN 0.0 ELSE p.residual END)
+         |      + COALESCE(d.dsum, 0.0) AS residual
+         |  FROM s${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM((s.residual * 0.85) / dg.outdeg) AS dsum
+         |    FROM edges e
+         |    JOIN s${i - 1} s ON e.src = s.id AND s.residual > 0
+         |    JOIN deg dg ON e.src = dg.id
+         |    GROUP BY e.dst) d ON p.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |s0 AS MATERIALIZED (SELECT id, 0.0 AS value, (1.0 - 0.85) AS residual FROM v),
+       |$iters
+       |SELECT id, CAST(ROUND(value * 1000000000) AS BIGINT) AS rank_n
+       |FROM s$k ORDER BY id""".stripMargin
+  }
+
+  val graphStats: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS (${verts("edges")}),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vertices,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       |       (SELECT MAX(d) FROM deg) AS max_outdeg,
+       |       (SELECT MIN(src) FROM deg WHERE d = (SELECT MAX(d) FROM deg)) AS max_outdeg_vertex""".stripMargin
+
   def pagerankTop20(k: Int): String = {
     val inner = pagerank(k)
     // re-sort the ranked output by (rank desc, id desc) — reference printTop

@@ -67,6 +67,20 @@ object SparkEntry {
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
     "pagerank_top20" -> ((s, d) =>
       ranks10(s, d).orderBy(col("rank_n").desc, col("id").desc).limit(20)),
+    // push-sync residual variant (the north star's named formulation),
+    // 5 fixed rounds with frontier = residual > 0
+    "pagerank_push5" -> ((s, d) =>
+      rankN(PageRank.runPush(adjDir(s, d), tol = 0.0, maxIter = 5).ranks)
+        .orderBy("id")),
+    "graph_stats" -> ((s, d) => {
+      val e = TpchGraph.edges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val maxD = deg.agg(max("d")).first().getLong(0)
+      val maxV = deg.filter(col("d") === maxD).agg(min("src")).first().getLong(0)
+      import s.implicits._
+      Seq((GraphOps.vertices(e).count(), e.count(), maxD, maxV))
+        .toDF("n_vertices", "n_edges", "max_outdeg", "max_outdeg_vertex")
+    }),
 
     // §2.3 connected components (min-label to fixpoint; oracle unrolls 20)
     "cc" -> ((s, d) => ccComps(s, d).orderBy("id")),
@@ -131,6 +145,18 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("format"),
           col("n_bytes"))
         .orderBy("doc_id")),
+
+    // rows-only checks (no SQL-expressible oracle; semantics tested
+    // in the ScalaTest suite against in-JVM oracles):
+    "emb_lsh_neardup" -> ((s, d) =>
+      Similarity.lshNearDup(emb(s, d), 0.3, bits = 8).orderBy("a", "b")),
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.docsAsMedia(docs(s, d)))
+        .select(col("doc_id"), col("frame_no")).orderBy("doc_id", "frame_no")),
+    "stream_sessions" -> ((s, d) =>
+      graft.streaming.EventStream
+        .sessionize(s.read.parquet(s"$d/events.parquet"))
+        .toDF().orderBy("user_id", "session_start")),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -150,6 +176,8 @@ object SparkEntry {
     "graph_relabel" -> Oracles.graphRelabel,
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
+    "pagerank_push5" -> Oracles.pagerankPush(5),
+    "graph_stats" -> Oracles.graphStats,
     "cc" -> Oracles.cc(20),
     "cc_sizes" -> Oracles.ccSizes(20),
     "lpa_min4" -> Oracles.lpaMin(4),
