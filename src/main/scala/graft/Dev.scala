@@ -55,7 +55,8 @@ object Dev {
         val path = args.lift(1).getOrElse("target/bench_adj")
         val iters = args.lift(2).map(_.toInt).getOrElse(10)
         val chunk = args.lift(3).map(_.toInt).getOrElse(5)
-        val adj = Adjacency.load(spark, path, numPartitions = 64)
+        val parts = args.lift(4).map(_.toInt).getOrElse(64)
+        val adj = Adjacency.load(spark, path, numPartitions = parts)
         if (sys.env.contains("GRAFT_EXPLAIN")) {
           import org.apache.spark.sql.functions._
           val st = adj.vertices.select(col("id"), lit(0.5).as("value"))
