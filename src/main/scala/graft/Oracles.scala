@@ -85,7 +85,7 @@ object Oracles {
        |v AS MATERIALIZED (${verts("edges")}),
        |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
        |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
-       |bs AS (SELECT 0.15 / n AS b FROM nv),
+       |bs AS (SELECT (1.0 - 0.85) / n AS b FROM nv),
        |s0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nv) AS value FROM v),
        |$iters
        |SELECT id, CAST(ROUND(value * 1000000000) AS BIGINT) AS rank_n
@@ -131,10 +131,11 @@ object Oracles {
 
   def pagerankTop20(k: Int): String = {
     val inner = pagerank(k)
-    // re-sort the ranked output by (rank desc, id desc) — reference printTop
-    // tie-break (PageRank-constants.h:61-65) — and keep 20.
+    // re-sort the ranked output by (rank desc, id asc) — reference printTop
+    // tie-break (PageRank-constants.h:61-65, reverse-iterated map emits the
+    // smaller id first on equal values) — and keep 20.
     s"""SELECT id, rank_n FROM ($inner) AS r
-       |ORDER BY rank_n DESC, id DESC LIMIT 20""".stripMargin
+       |ORDER BY rank_n DESC, id ASC LIMIT 20""".stripMargin
   }
 
   /** k unrolled min-label rounds; `sym` picks the edge orientation. */

@@ -66,7 +66,7 @@ object SparkEntry {
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
     "pagerank_top20" -> ((s, d) =>
-      ranks10(s, d).orderBy(col("rank_n").desc, col("id").desc).limit(20)),
+      ranks10(s, d).orderBy(col("rank_n").desc, col("id").asc).limit(20)),
     // push-sync residual variant (the north star's named formulation),
     // 5 fixed rounds with frontier = residual > 0
     "pagerank_push5" -> ((s, d) =>

@@ -76,13 +76,16 @@ object Adjacency {
     // (graph-convert.cpp:3027-3050): degree pass, then tile assignment
     // BEFORE grouping, so a 10^8-degree hub never materializes as one
     // collect_list row — each (src, tile) group holds ~blockSize neighbors.
-    // Tile choice pmod(dst, ceil(deg/blockSize)) is deterministic, so block
-    // contents are invariant to partitioning (sort_array canonicalizes
-    // within-block order).
+    // The tile is pmod(xxhash64(dst), ntiles), not pmod(dst, ntiles): raw
+    // dst residues can collapse (a hub whose targets share a residue class
+    // would re-create one giant block); hashing spreads any dst set
+    // uniformly. Still deterministic, so block contents are invariant to
+    // input partitioning (sort_array canonicalizes within-block order).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val blocks = edges
       .join(deg, "src")
-      .withColumn("tile", pmod(col("dst"), ceil(col("deg") / blockSize)))
+      .withColumn("tile",
+        pmod(xxhash64(col("dst")), ceil(col("deg") / blockSize)))
       .groupBy(col("src"), col("tile"), col("deg"))
       .agg(sort_array(collect_list(col("dst"))).as("dsts"))
       .select(col("src"), col("deg"), col("dsts"))

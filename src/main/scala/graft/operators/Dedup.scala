@@ -96,7 +96,13 @@ object Dedup {
       threshold: Double = 0.5, dfCapForVerify: Long = 1000L): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes)
+    // Docs with no shingles (< 3 tokens) would keep the Long.MaxValue
+    // sentinel in every signature slot, and the band-key fold below would
+    // overflow int64 (ANSI mode throws). They can't be near-dups of
+    // anything (empty shingle set), so drop them before signing — this
+    // also mirrors the SQL oracle, where empty lists vanish via UNNEST.
+    val sigs = minhashSignatures(
+      docs.filter(size(shingleArr(col("text"))) > 0), numHashes)
     // band key: polynomial fold of the band's rows, mod 2^40 so the fold
     // never overflows int64 (acc < 2^40, x P2 < 2^60). For rows = 2 the
     // mod is the identity (P2^2 < 2^40), which keeps the SQL oracle's

@@ -203,9 +203,11 @@ object PageRank {
   }
 
   /** Top-k report (printTop, PageRank-constants.h:78-109): rank desc,
-    * ties → larger id first (comparator at :61-65). */
+    * ties → SMALLER id first (TopPair::operator< at :61-65 orders by
+    * (value, id) and printTop reverse-iterates the map, so equal values
+    * emit in descending insertion order = ascending id). */
   def topK(ranks: DataFrame, k: Int = 20): DataFrame =
-    ranks.orderBy(col("value").desc, col("id").desc).limit(k)
+    ranks.orderBy(col("value").desc, col("id").asc).limit(k)
 
   /** Sanity aggregates (PageRank-pull.cpp:354-379). */
   def sanity(ranks: DataFrame): DataFrame =

@@ -45,6 +45,11 @@ object WebGraph {
       .withColumn("local", row_number().over(w))
       .join(broadcast(offsetsDf), "pid")
       .select(col("url"), (col("offset") + col("local") - 1).as("id"))
+      // materialize BEFORE unpersisting parts: ids must be assigned against
+      // the exact sampled range boundaries the offsets were computed from
+      // (a recompute could re-sample), and the eager checkpoint also makes
+      // the returned dict self-contained for callers.
+      .localCheckpoint(true)
     parts.unpersist()
     dict
   }
@@ -77,8 +82,7 @@ object WebGraph {
       .map(Extract.normalize).toDF("url")
     val allUrls = pageUrls
       .union(urlEdges.select(col("dst_url").as("url")))
-    val dict = densify(spark, allUrls, numPartitions)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dict = densify(spark, allUrls, numPartitions) // eagerly checkpointed
 
     val bySrc = dict.select(col("url").as("src_url"), col("id").as("src"))
     val byDst = dict.select(col("url").as("dst_url"), col("id").as("dst"))

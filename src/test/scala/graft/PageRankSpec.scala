@@ -52,13 +52,13 @@ class PageRankSpec extends AnyFunSuite {
     assert(maxDiff <= 1e-6, s"max |push/N - oracle| = $maxDiff")
   }
 
-  test("top-k uses reference tie-break (value desc, id desc)") {
+  test("top-k uses reference tie-break (value desc, id asc)") {
     val ranks = df(Seq((1L, 2L), (3L, 2L), (4L, 5L)))
     // build tiny state manually: ids with equal values
     import spark.implicits._
     val state = Seq((1L, 0.5), (2L, 0.5), (3L, 0.1)).toDF("id", "value")
     val top = PageRank.topK(state, 2).collect().map(_.getLong(0)).toSeq
-    assert(top == Seq(2L, 1L))
+    assert(top == Seq(1L, 2L))
   }
 
   test("results are invariant to partitioning and block size") {
