@@ -80,24 +80,30 @@ object PipelineOracles {
        |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS nsh FROM base
        |  WHERE len(sh) > 0)""".stripMargin
 
+  /** Exact integer threshold test (1e4·inter ≥ t4·union) — mirrors the
+    * engine's Dedup.jaccardCount filter; jacc_i4 is still the rounded
+    * report value. */
   private def jaccardVerifySql(thresholdI4: Long): String =
     s"""SELECT a, b, jacc_i4 FROM (
        |  SELECT cand.a, cand.b,
        |    CAST(ROUND(10000.0 * len(list_intersect(sa.sh, sb.sh))
-       |      / (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jacc_i4
+       |      / (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jacc_i4,
+       |    10000 * len(list_intersect(sa.sh, sb.sh)) AS lhs,
+       |    $thresholdI4 * (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh))) AS rhs
        |  FROM cand
        |  JOIN sizes sa ON cand.a = sa.doc_id
        |  JOIN sizes sb ON cand.b = sb.doc_id) z
-       |WHERE jacc_i4 >= $thresholdI4 ORDER BY a, b""".stripMargin
+       |WHERE lhs >= rhs ORDER BY a, b""".stripMargin
 
-  def dedupNgram(thresholdI4: Long = 5000, dfCap: Long = 1000): String =
+  /** Naive quadratic re-derivation (every pair, exact integer threshold):
+    * the engine's prefix-filtered join must return EXACTLY this set — the
+    * oracle independently proves the filter's recall, not just its
+    * precision. */
+  def dedupNgram(thresholdI4: Long = 5000): String =
     s"""WITH $shingleBase,
-       |inv AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM base),
-       |rare AS MATERIALIZED (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= $dfCap),
-       |invr AS MATERIALIZED (SELECT doc_id, s FROM inv JOIN rare USING (s)),
        |cand AS MATERIALIZED (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM invr x JOIN invr y ON x.s = y.s AND x.doc_id < y.doc_id)
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sizes x JOIN sizes y ON x.doc_id < y.doc_id)
        |${jaccardVerifySql(thresholdI4)}""".stripMargin
 
   /** MinHash LSH (numHashes=8, bands=4, rows=2) + exact-Jaccard confirm. */

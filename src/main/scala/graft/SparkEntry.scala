@@ -114,7 +114,7 @@ object SparkEntry {
     // training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keep_id")),
     "dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), 0.5, 200).orderBy("a", "b")),
+      Dedup.ngramJaccardPairs(docs(s, d), 0.5).orderBy("a", "b")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
         threshold = 0.5).orderBy("a", "b")),
@@ -189,7 +189,7 @@ object SparkEntry {
     "text_langid" -> PipelineOracles.textLangId,
     "text_fingerprint" -> PipelineOracles.textFingerprint,
     "dedup_exact" -> PipelineOracles.dedupExact,
-    "dedup_ngram" -> PipelineOracles.dedupNgram(5000, 200),
+    "dedup_ngram" -> PipelineOracles.dedupNgram(5000),
     "dedup_minhash" -> PipelineOracles.dedupMinhash(5000),
     "dedup_simhash" -> PipelineOracles.dedupSimhash(3),
     "emb_topk" -> PipelineOracles.embTopK(5, 10),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Hashes
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Deduplication operators for a training-data pipeline over `documents`.
@@ -10,10 +11,11 @@ import org.apache.spark.sql.functions._
  * Scale shapes (the point of each variant):
  *  - exact: one hash-aggregate over the corpus — O(N) shuffle on the text
  *    key (at real scale: on a digest of it).
- *  - ngramJaccard: candidate pairs ONLY via an inverted shingle index
- *    (explode → self-join on shingle) with a document-frequency cap on
- *    shingles so a stop-shingle shared by millions of docs never builds a
- *    quadratic candidate set; exact Jaccard re-verified per candidate.
+ *  - ngramJaccard: EXACT all-pairs Jaccard join via prefix filtering —
+ *    each doc indexes only its rarest (1−t)·n+1 shingles, which provably
+ *    preserves recall while a stop-shingle shared by millions of docs
+ *    never enters the index; |A∩B| is then counted through hash joins
+ *    (no arrays shipped).
  *  - minhashLsh: constant-size signatures + banded bucket join — the
  *    100 TB path where even the inverted index is too big. Candidates are
  *    confirmed with exact Jaccard, so precision is exact and recall is
@@ -44,40 +46,71 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (a, b, jacc_i4): document pairs with n-gram Jaccard ≥ threshold.
-    * dfCap drops shingles appearing in more than dfCap docs from CANDIDATE
-    * GENERATION only (skew guard); Jaccard itself is exact. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-      dfCap: Long = 1000L): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh"))
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("shingle")
-    val invRare = inv.join(rare, "shingle")
-    val cand = invRare.select(col("shingle"), col("doc_id").as("a"))
-      .join(invRare.select(col("shingle"), col("doc_id").as("b")), "shingle")
+  /** Per-doc shingle base: (doc_id, sh, nsh) for docs with ≥ 1 shingle. */
+  private def shingleBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh"))
+
+  /** (a, b, jacc_i4): ALL document pairs with n-gram Jaccard ≥ threshold —
+    * an EXACT similarity join via prefix filtering (Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08). Each doc indexes only its `nsh − ⌈t·nsh⌉ + 1`
+    * globally rarest shingles (total order: df asc, shingle asc); any two
+    * docs with Jaccard ≥ t provably share a prefix shingle, so the
+    * prefix-to-prefix join has exact recall while candidate generation is
+    * bounded by the rare end of the df distribution — a stop-shingle
+    * shared by millions of docs sits at the END of every prefix order and
+    * never enters the index. The threshold test is exact integer
+    * arithmetic (1e4·inter ≥ t4·union), immune to double rounding at the
+    * boundary, and verification never ships shingle arrays (see
+    * [[jaccardCount]]). Replaces the df-capped inverted index that was
+    * 83% of the round-1 bench (1.1M candidate pairs × array_intersect). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val t4 = math.round(threshold * 10000)
+    val base = shingleBase(docs)
+    // The inverted index feeds df-counting, the prefix window, both sides
+    // of the verify probe and the size lookups — materialize it once
+    // instead of re-deriving shingles 6x from the raw text.
+    val inv = base.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc window: groups are ≤ a few hundred shingles, never skewed
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    // prefix length n − ⌈t·n⌉ + 1 with ⌈t·n⌉ done in exact integers
+    val pref = inv.join(dfs, "s")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= expr(s"nsh - ((nsh * $t4 + 9999) DIV 10000) + 1"))
+      .select(col("s"), col("doc_id"))
+      .localCheckpoint(true) // joined against itself below
+    val cand = pref.select(col("s"), col("doc_id").as("a"))
+      .join(pref.select(col("s"), col("doc_id").as("b")), "s")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    jaccardVerify(cand, base, threshold)
+    jaccardCount(cand, inv, t4)
   }
 
-  /** Exact-Jaccard confirmation of candidate (a,b) pairs. */
-  private def jaccardVerify(cand: DataFrame, base: DataFrame,
-      threshold: Double): DataFrame = {
-    val ja = base.select(col("doc_id").as("a"), col("sh").as("sha"),
-      col("nsh").as("na"))
-    val jb = base.select(col("doc_id").as("b"), col("sh").as("shb"),
-      col("nsh").as("nb"))
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
-    // multiply-before-divide ((1e4*inter)/union) for oracle-SQL bit parity
-    cand.join(ja, "a").join(jb, "b")
+  /** Exact-Jaccard confirmation of candidate (a, b) pairs WITHOUT shipping
+    * shingle arrays through the join: expand each candidate by a's inverted
+    * rows and probe b's index — |A∩B| becomes two codegen'd hash joins and
+    * a count, O(|cand|·avg_nsh) rows instead of interpreted
+    * array_intersect over long string arrays. */
+  private def jaccardCount(cand: DataFrame, inv: DataFrame,
+      thresholdI4: Long): DataFrame = {
+    val ia = inv.select(col("doc_id").as("a"), col("s"))
+    val ib = inv.select(col("doc_id").as("b"), col("s"))
+    val sa = inv.select(col("doc_id").as("a"), col("nsh").as("na")).distinct()
+    val sb = inv.select(col("doc_id").as("b"), col("nsh").as("nb")).distinct()
+    val inter = cand.join(ia, "a").join(ib, Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // exact integer threshold test; jacc_i4 emitted multiply-before-divide
+    // ((1e4*inter)/union) for oracle-SQL bit parity
+    inter.join(sa, "a").join(sb, "b")
+      .filter(lit(10000L) * col("inter") >=
+        lit(thresholdI4) * (col("na") + col("nb") - col("inter")))
       .select(col("a"), col("b"),
-        round(lit(10000.0) * inter / (col("na") + col("nb") - inter))
+        round(lit(10000.0) * col("inter") /
+          (col("na") + col("nb") - col("inter")))
           .cast("long").as("jacc_i4"))
-      .filter(col("jacc_i4") >= math.round(threshold * 10000))
   }
 
   /** MinHash signatures (id, sig[numHashes]) via a typed map (integer
@@ -93,7 +126,7 @@ object Dedup {
   /** LSH near-dup pairs: band the signature (rows = numHashes/bands per
     * band), bucket-join, confirm with exact Jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, dfCapForVerify: Long = 1000L): DataFrame = {
+      threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Docs with no shingles (< 3 tokens) would keep the Long.MaxValue
@@ -120,11 +153,9 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val base = docs
-      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh"))
-    jaccardVerify(cand, base, threshold)
+    val inv = shingleBase(docs)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    jaccardCount(cand, inv, math.round(threshold * 10000))
   }
 
   /** (doc_id, simhash) — 32-bit SimHash of widened token strhashes. */

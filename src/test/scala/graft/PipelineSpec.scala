@@ -34,7 +34,7 @@ class PipelineSpec extends AnyFunSuite {
   }).toSet
 
   test("ngram jaccard pairs == quadratic-scan oracle") {
-    val got = Dedup.ngramJaccardPairs(docs, 0.5, 1000)
+    val got = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exactPairs, s"got ${got.size}, expected ${exactPairs.size}")
     assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
