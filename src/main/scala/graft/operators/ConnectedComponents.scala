@@ -18,17 +18,24 @@ final case class ComponentsResult(components: DataFrame, iterations: Int,
  * (ConnectedComponents.cpp:1214-1218) — callers pass
  * `GraphOps.symmetrize(...)`-derived adjacency.
  *
- * The union-find variants of the reference (Sync/Async/Afforest,
- * ConnectedComponents.cpp:241-1036) are execution alternatives producing
- * the same vertex partition; min-label yields the canonical
- * min-vertex-id-per-component representative deterministically, which is
- * the output contract here.
+ * Plain min-label needs O(diameter) rounds. The reference's union-find
+ * variants (Sync/Async/Afforest, ConnectedComponents.cpp:241-1036)
+ * sidestep that with path compression (`parent[x] = parent[parent[x]]`,
+ * e.g. :285-292). This engine interleaves the same idea as a POINTER-JUMP
+ * round — `comp' = comp[comp]`, one O(V)⋈O(V) self-join — between edge
+ * relaxations, collapsing the round count to O(log diameter). Invariants
+ * (so the fixpoint is unchanged): comp(v) always names a vertex in v's
+ * component and only decreases; a state stable under both relax and jump
+ * has comp constant per component and equal to its min id — exactly the
+ * contract of the plain kernel and of the unrolled SQL oracle.
  *
- * Scale shape per round: frontier (O(changed)) joins the src-partitioned
- * blocked adjacency (exchange reused every round), messages partially
- * aggregate map-side before one shuffle on dst, and the fixpoint check is
- * a count on the next frontier. Checkpoints truncate lineage and provide
- * mid-run resume.
+ * Scale shape: relax rounds join the frontier (O(changed)) against the
+ * src-partitioned blocked adjacency (exchange reused every round) with
+ * map-side partial min before the one dst shuffle; jump rounds are a
+ * single hash self-join of the O(V) state. Each round is ONE Spark action
+ * — the changed-count comes out of the materializing pass via
+ * `Dataset.observe`, not a second scan. Checkpoints truncate lineage and
+ * provide mid-run resume.
  */
 object ConnectedComponents {
 
@@ -43,42 +50,67 @@ object ConnectedComponents {
     val resumed = if (resume) store.flatMap(_.latest("cc")) else None
     var iter = resumed.map(_._1).getOrElse(0)
     // state: (id, comp, changed) — `changed` is the reference's
-    // comp_old > comp_current test gating the push (l.213).
+    // comp_old > comp_current test gating the push (l.213), widened to
+    // "changed since this vertex last pushed" so a jump-round shrink is
+    // still pushed by the next relax round.
     var state = resumed.map(_._2).getOrElse(
       adj.vertices.select(col("id"), col("id").as("comp"),
         lit(true).as("changed")))
       .localCheckpoint(true)
-    var changedCount = state.filter(col("changed")).count()
 
-    while (changedCount > 0 && iter < maxIter) {
+    // stop when a relax AND the following jump both change nothing
+    var lastChanged = Long.MaxValue
+    var prevChanged = Long.MaxValue
+    def converged = lastChanged == 0 && prevChanged == 0
+
+    while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val frontier = state.filter(col("changed"))
-      val mins = adj.blocks
-        .join(frontier, adj.blocks("src") === frontier("id"))
-        .select(explode(col("dsts")).as("id"), col("comp").as("msg"))
-        .groupBy("id").agg(min(col("msg")).as("msg"))
+      val relaxRound = iter % 2 == 0
+      val stepped =
+        if (relaxRound) {
+          val frontier = state.filter(col("changed"))
+          val mins = adj.blocks
+            .join(frontier, adj.blocks("src") === frontier("id"))
+            .select(explode(col("dsts")).as("id"), col("comp").as("msg"))
+            .groupBy("id").agg(min(col("msg")).as("msg"))
+          state
+            .join(mins, Seq("id"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"),
+              (coalesce(col("msg"), col("comp")) < col("comp")).as("changed"))
+        } else {
+          // pointer jump: comp' = comp[comp] (inner join is safe — every
+          // comp value is a vertex id present in state)
+          val d = state.select(col("id").as("cid"), col("comp").as("ccomp"))
+          state.join(d, state("comp") === d("cid"))
+            .select(state("id"),
+              col("ccomp").as("comp"),
+              (col("changed") || (col("ccomp") < state("comp"))).as("changed"))
+        }
 
-      var next = state
-        .join(mins, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"),
-          (coalesce(col("msg"), col("comp")) < col("comp")).as("changed"))
+      val obs = org.apache.spark.sql.Observation(s"cc_$iter")
+      var next = stepped
+        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n"))
         .localCheckpoint(true) // truncate iterative lineage (see PageRank)
 
-      changedCount = next.filter(col("changed")).count()
+      prevChanged = lastChanged
+      lastChanged = obs.get.get("n") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }
       iter += 1
       val ms = (System.nanoTime() - t0) / 1000000
-      metrics += IterMetric(iter, changedCount.toDouble, adj.numEdges, ms)
-      store.foreach(_.appendMetrics("cc", iter, changedCount.toDouble,
+      metrics += IterMetric(iter, lastChanged.toDouble, adj.numEdges, ms)
+      store.foreach(_.appendMetrics("cc", iter, lastChanged.toDouble,
         adj.numEdges, ms))
 
-      if (store.nonEmpty && (iter % checkpointEvery == 0 || changedCount == 0)) {
+      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
         next = store.get.commitState("cc", iter, next)
       }
       state = next
     }
     ComponentsResult(state.select(col("id"), col("comp")), iter,
-      changedCount == 0, metrics.toSeq)
+      converged, metrics.toSeq)
   }
 
   /** Exactly `k` synchronous min-label rounds over all vertices (no frontier

@@ -32,17 +32,22 @@ object LabelPropagation {
         .join(state, adj.blocks("src") === state("id"))
         .select(explode(col("dsts")).as("id"), col("label").as("msg"))
         .groupBy("id").agg(min(col("msg")).as("msg"))
+      // the changed flag rides the materializing pass (Dataset.observe) —
+      // no extra fixpoint join/scan per round
+      val obs = org.apache.spark.sql.Observation(s"lpa_$round")
       val next = state
         .join(mins, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("msg"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("msg"), col("label"))).as("label"),
+          (coalesce(col("msg"), col("label")) < col("label")).as("ch"))
+        .observe(obs, sum(when(col("ch"), 1L).otherwise(0L)).as("n"))
+        .select(col("id"), col("label"))
         .localCheckpoint(true) // truncate iterative lineage (see PageRank)
-      if (k > 0) done = false
-      else {
-        val changed = next.join(
-          state.withColumnRenamed("label", "prev"), "id")
-          .filter(col("label") =!= col("prev")).count()
-        done = changed == 0
+      if (k <= 0) {
+        done = (obs.get.get("n") match {
+          case Some(l: Long) => l
+          case _             => 0L
+        }) == 0
       }
       round += 1
       state = next
