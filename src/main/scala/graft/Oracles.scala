@@ -120,6 +120,38 @@ object Oracles {
        |FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** k unrolled pull-residual rounds (PageRank-pull.cpp:137-195, the
+    * reference default `-algo=Residual`) at tolerance 0: value starts 0,
+    * residual starts (1.0 - 0.85); an active vertex (residual > 0)
+    * flushes value += residual and scatters (residual*0.85)/outdeg; a
+    * POSITIVE delta sum OVERWRITES the residual, otherwise an inactive
+    * vertex keeps its old one. Written so every double op matches the
+    * engine bit-for-bit. */
+  def pagerankResidual(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id,
+         |    p.value + CASE WHEN p.residual > 0 THEN p.residual ELSE 0.0 END AS value,
+         |    CASE WHEN d.dsum > 0 THEN d.dsum
+         |      ELSE CASE WHEN p.residual > 0 THEN 0.0 ELSE p.residual END
+         |    END AS residual
+         |  FROM s${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM((s.residual * 0.85) / dg.outdeg) AS dsum
+         |    FROM edges e
+         |    JOIN s${i - 1} s ON e.src = s.id AND s.residual > 0
+         |    JOIN deg dg ON e.src = dg.id
+         |    GROUP BY e.dst) d ON p.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |s0 AS MATERIALIZED (SELECT id, 0.0 AS value, (1.0 - 0.85) AS residual FROM v),
+       |$iters
+       |SELECT id, CAST(ROUND(value * 1000000000) AS BIGINT) AS rank_n
+       |FROM s$k ORDER BY id""".stripMargin
+  }
+
   val graphStats: String =
     s"""WITH edges AS MATERIALIZED ($E),
        |v AS (${verts("edges")}),

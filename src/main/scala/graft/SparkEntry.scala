@@ -72,6 +72,10 @@ object SparkEntry {
     "pagerank_push5" -> ((s, d) =>
       rankN(PageRank.runPush(adjDir(s, d), tol = 0.0, maxIter = 5).ranks)
         .orderBy("id")),
+    // pull-residual — the reference DEFAULT (-algo=Residual), 5 fixed
+    // rounds with frontier = residual > 0
+    "pagerank_residual5" -> ((s, d) =>
+      rankN(PageRank.residualFixed(adjDir(s, d), 5)).orderBy("id")),
     "graph_stats" -> ((s, d) => {
       val e = TpchGraph.edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -177,6 +181,7 @@ object SparkEntry {
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),
+    "pagerank_residual5" -> Oracles.pagerankResidual(5),
     "graph_stats" -> Oracles.graphStats,
     "cc" -> Oracles.cc(20),
     "cc_sizes" -> Oracles.ccSizes(20),

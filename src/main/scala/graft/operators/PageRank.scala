@@ -202,6 +202,116 @@ object PageRank {
       metrics.toSeq)
   }
 
+  /**
+   * Pull-residual PageRank — the reference's DEFAULT algorithm
+   * (`-algo=Residual`, PageRank-pull.cpp:137-195), expressed in
+   * original-graph orientation (the reference runs on the transpose, so
+   * its `edges(src)` are in-edges here). Per round:
+   *
+   *  - activation (l.151-158): a vertex with residual > tolerance flushes
+   *    `value += residual`, zeroes the residual, and — if nout > 0 —
+   *    scatters `delta = residual * ALPHA / nout` to out-neighbors,
+   *    counting toward the activation accumulator;
+   *  - gather (l.163-178): each vertex sums incoming deltas; a POSITIVE
+   *    sum OVERWRITES the residual (`residual[src] = sum`, l.175 — any
+   *    sub-tolerance residue is dropped, reference semantics kept
+   *    bit-for-bit);
+   *  - stop when no activated vertex had out-edges (`!accum.reduce()`,
+   *    l.184-187).
+   *
+   * Init (initNodeDataResidual, l.74-86): value = 0, residual = 1-ALPHA,
+   * so converged values are N× the pull-topo values. The frontier shrinks
+   * as vertices converge — on power-law web graphs most supersteps touch
+   * a small fraction of V, which is why this is the reference default.
+   *
+   * Scale shape mirrors [[runPush]]: the frontier filter is pushed below
+   * the blocks join, deltas partially aggregate map-side before the one
+   * dst shuffle, and the activation count for the NEXT round rides the
+   * materializing pass via `Dataset.observe` (state carries the static
+   * out-degree so no extra join is needed).
+   */
+  def runResidual(
+      adj: Adjacency,
+      tol: Double = 1e-6,
+      maxIter: Int = 1000,
+      alpha: Double = Alpha,
+      checkpointEvery: Int = 25,
+      store: Option[SnapshotStore] = None,
+      resume: Boolean = false): PageRankResult = {
+
+    val metrics = ArrayBuffer.empty[IterMetric]
+    val resumed =
+      if (resume) store.flatMap(_.latest("pagerank_residual")) else None
+    var iter = resumed.map(_._1).getOrElse(0)
+    val outdeg = adj.blocks.groupBy("src").agg(first(col("deg")).as("odeg"))
+    var state = resumed.map(_._2).getOrElse(
+      adj.vertices.join(outdeg, adj.vertices("id") === outdeg("src"), "left")
+        .select(col("id"), coalesce(col("odeg"), lit(0L)).as("deg"),
+          lit(0.0).as("value"), lit(1.0 - alpha).as("residual")))
+      .localCheckpoint(true)
+
+    // reference accum: this round's activations with out-edges — a
+    // function of the state BEFORE the round, so each round's observe
+    // yields the NEXT round's value. The reference breaks AFTER running
+    // the round whose accum is 0 (that round still flushes dangling
+    // activations), so the test below uses the accum of the round being
+    // entered, not the one just produced.
+    var nextAccum = state.filter(col("residual") > tol && col("deg") > 0)
+      .count()
+    var converged = false
+
+    while (!converged && iter < maxIter) {
+      val thisAccum = nextAccum
+      val t0 = System.nanoTime()
+      val frontier = state.filter(col("residual") > tol)
+      val deltas = adj.blocks
+        .join(frontier, adj.blocks("src") === frontier("id"))
+        .select(explode(col("dsts")).as("id"),
+          ((col("residual") * alpha) / adj.blocks("deg")).as("d"))
+        .groupBy("id").agg(sum(col("d")).as("dsum"))
+
+      val active = col("residual") > tol
+      val obs = org.apache.spark.sql.Observation(s"pr_res_$iter")
+      var next = state
+        .join(deltas, Seq("id"), "left")
+        .select(
+          col("id"), col("deg"),
+          (col("value") + when(active, col("residual")).otherwise(lit(0.0)))
+            .as("value"),
+          when(col("dsum") > 0, col("dsum"))
+            .otherwise(when(active, lit(0.0)).otherwise(col("residual")))
+            .as("residual"))
+        .observe(obs,
+          sum(when(col("residual") > tol && col("deg") > 0, 1L)
+            .otherwise(0L)).as("accum"),
+          sum(col("residual")).as("res_l1"))
+        .localCheckpoint(true)
+
+      val m = obs.get
+      nextAccum = m.get("accum") match { case Some(l: Long) => l; case _ => 0L }
+      val l1 = m.get("res_l1") match { case Some(d: Double) => d; case _ => 0.0 }
+      iter += 1
+      val ms = (System.nanoTime() - t0) / 1000000
+      metrics += IterMetric(iter, l1, adj.numEdges, ms)
+      store.foreach(_.appendMetrics("pagerank_residual", iter, l1,
+        adj.numEdges, ms))
+      converged = thisAccum == 0L
+
+      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
+        next = store.get.commitState("pagerank_residual", iter, next)
+      }
+      state = next
+    }
+    PageRankResult(state.select(col("id"), col("value")), iter, converged,
+      metrics.toSeq)
+  }
+
+  /** Exactly `k` pull-residual rounds with tolerance 0 (active =
+    * residual > 0), no stop check — the deterministic kernel for the SQL
+    * oracle queries. */
+  def residualFixed(adj: Adjacency, k: Int, alpha: Double = Alpha): DataFrame =
+    runResidual(adj, tol = 0.0, maxIter = k, alpha = alpha).ranks
+
   /** Top-k report (printTop, PageRank-constants.h:78-109): rank desc,
     * ties → SMALLER id first (TopPair::operator< at :61-65 orders by
     * (value, id) and printTop reverse-iterates the map, so equal values

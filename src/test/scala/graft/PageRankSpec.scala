@@ -52,6 +52,19 @@ class PageRankSpec extends AnyFunSuite {
     assert(maxDiff <= 1e-6, s"max |push/N - oracle| = $maxDiff")
   }
 
+  test("pull-residual (reference default) converges to N x pull-topo fixpoint") {
+    val res = PageRank.runResidual(web.adjacency, tol = 1e-9, maxIter = 5000)
+    assert(res.converged)
+    val (oracle, _) = TestOracles.pagerankTopo(edgeArray, vertexIds, tol = 1e-12)
+    val n = web.adjacency.numVertices.toDouble
+    val engine = ranksOf(res.ranks)
+    val maxDiff = engine.map { case (id, v) =>
+      math.abs(v / n - oracle(id)) }.max
+    assert(maxDiff <= 1e-6, s"max |residual/N - oracle| = $maxDiff")
+    // the frontier SHRINKS as vertices converge (the point of the variant)
+    assert(res.metrics.last.l1Residual < res.metrics.head.l1Residual)
+  }
+
   test("top-k uses reference tie-break (value desc, id asc)") {
     val ranks = df(Seq((1L, 2L), (3L, 2L), (4L, 5L)))
     // build tiny state manually: ids with equal values
