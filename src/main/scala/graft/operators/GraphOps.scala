@@ -72,15 +72,17 @@ object GraphOps {
 
   /** gr2sorteddegreegr (graph-convert.cpp:175-183): relabel vertices in
     * descending-degree order (ties → smaller original id first), as a
-    * (id, new_id) dictionary. Mirrors Triangles.cpp:355-478 makeSortedGraph. */
+    * (id, new_id) dictionary. Mirrors Triangles.cpp:355-478
+    * makeSortedGraph's parallel sort + prefix sum: the rank comes from
+    * [[graft.plans.Ranking.globalRank]] (range-partition + per-partition
+    * row_number + O(P) driver prefix sum), NOT a global single-partition
+    * window. */
   def relabelByDegree(edges: DataFrame): DataFrame = {
     val deg = degrees(edges)
       .select(col("id"), (col("outdeg") + col("indeg")).as("d"))
-    // Global rank: a single total order. At 100 TB one would range-partition
-    // by a sampled degree histogram; row_number over a global sort is fine
-    // for the dictionary (O(V), not O(E)).
-    val w = Window.orderBy(col("d").desc, col("id").asc)
-    deg.select(col("id"), (row_number().over(w) - 1).cast("long").as("new_id"))
+    graft.plans.Ranking
+      .globalRank(deg, Seq(col("d").desc, col("id").asc), "new_id")
+      .select(col("id"), col("new_id"))
   }
 
   /** Apply a relabel dictionary to an edge table (two broadcast-or-shuffle

@@ -19,40 +19,18 @@ final case class WebGraph(
 object WebGraph {
 
   /**
-   * Dense id assignment for a (possibly huge) url set, without a global
-   * single-partition window: range-partition by url, rank within each
-   * partition, add the exclusive prefix sum of partition sizes (O(P) on
-   * the driver). The result equals `row_number() over (order by url) - 1`
-   * — ids are the global sort rank — but every stage is parallel, which is
-   * what survives 10^12 distinct urls. Mirrors the dense `GraphNode =
-   * uint32` ids of the reference (LC_CSR_Graph.h:155).
+   * Dense id assignment for a (possibly huge) url set: ids are the global
+   * url sort rank, computed by [[graft.plans.Ranking.globalRank]]
+   * (range-partition + per-partition rank + O(P) driver prefix sum — no
+   * single-partition stage), so the dictionary build survives 10^12
+   * distinct urls. Mirrors the dense `GraphNode = uint32` ids of the
+   * reference (LC_CSR_Graph.h:155). Eagerly materialized.
    */
   def densify(spark: SparkSession, urls: DataFrame,
-      numPartitions: Int = 32): DataFrame = {
-    val parts = urls.select(col("url")).distinct()
-      .repartitionByRange(numPartitions, col("url"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // pin sampled range boundaries
-    val withPid = parts.withColumn("pid", spark_partition_id())
-    val counts = withPid.groupBy("pid").count().orderBy("pid").collect()
-    var acc = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("pid", "offset")
-    val w = Window.partitionBy("pid").orderBy("url")
-    val dict = withPid
-      .withColumn("local", row_number().over(w))
-      .join(broadcast(offsetsDf), "pid")
-      .select(col("url"), (col("offset") + col("local") - 1).as("id"))
-      // materialize BEFORE unpersisting parts: ids must be assigned against
-      // the exact sampled range boundaries the offsets were computed from
-      // (a recompute could re-sample), and the eager checkpoint also makes
-      // the returned dict self-contained for callers.
-      .localCheckpoint(true)
-    parts.unpersist()
-    dict
-  }
+      numPartitions: Int = 32): DataFrame =
+    graft.plans.Ranking.globalRank(
+      urls.select(col("url")).distinct(), Seq(col("url")), "id",
+      numPartitions)
 
   /** (src_url, dst_url) link pairs extracted from the html column. */
   def extractEdges(spark: SparkSession, pages: DataFrame): DataFrame = {

@@ -104,4 +104,24 @@ class GraphAlgoSpec extends AnyFunSuite {
     // degrees: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
     assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
+
+  test("globalRank plan never funnels through a single partition") {
+    import org.apache.spark.sql.functions.col
+    val e = df((1L to 200L).map(i => (i, (i % 7) + 1)))
+    val deg = GraphOps.degrees(e)
+      .select(col("id"), (col("outdeg") + col("indeg")).as("d"))
+    val (ranked, parts) = graft.plans.Ranking.globalRankPlan(
+      deg, Seq(col("d").desc, col("id").asc), "new_id", 8)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-rank plan contains a single-partition exchange:\n$plan")
+    // and it still equals the global row_number semantics
+    val viaPlan = ranked.select(col("id"), col("new_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = deg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, d) => (-d, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(viaPlan == expected)
+    parts.unpersist()
+  }
 }
