@@ -165,13 +165,68 @@ object PipelineOracles {
        |    ORDER BY cos_i4 DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) z
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  def embNearDup(thresholdI4: Long = 3000): String =
-    s"""WITH $embBase
+  /** Sign-LSH bucket CTEs: the SAME float-rounded hyperplane literals the
+    * engine bakes into its plan (graft.functions.Planes), dotted with the
+    * embedding by an index lambda — the identical double sequence as the
+    * engine's FloatDot, so bucket values match bit-for-bit. `dim` must
+    * match the corpus (driver tables: 64). */
+  private def lshBucketCtes(bits: Int, dim: Int, seed: Long = 42L): String =
+    s"""planes(p, v) AS (VALUES
+       |${graft.functions.Planes.sqlValues(bits, dim, seed)}),
+       |buck AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.v[i])) > 0
+       |      THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id)""".stripMargin
+
+  /** LSH near-dup: same-bucket pairs, exact cosine ≥ threshold. */
+  def embLshNearDup(thresholdI4: Long = 3000, bits: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH $embBase,
+       |${lshBucketCtes(bits, dim)}
        |SELECT a, b, cos_i4 FROM (
        |  SELECT x.vec_id AS a, y.vec_id AS b,
        |    CAST(ROUND(10000.0 * ${dotSql("x", "y")} / (sqrt(x.nrm) * sqrt(y.nrm))) AS BIGINT) AS cos_i4
-       |  FROM e x JOIN e y ON x.vec_id < y.vec_id) z
+       |  FROM (SELECT e.*, b.bucket FROM e JOIN buck b USING (vec_id)) x
+       |  JOIN (SELECT e.*, b.bucket FROM e JOIN buck b USING (vec_id)) y
+       |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id) z
        |WHERE cos_i4 >= $thresholdI4 ORDER BY a, b""".stripMargin
+
+  /** ANN top-k: multi-table multi-probe sign-LSH candidates (the query's
+    * bucket + every Hamming-1 bucket, per hash table), exact cosine
+    * re-rank (ties → smaller neighbor id). Mirrors Similarity.annTopK. */
+  def embAnnTopK(k: Int = 5, maxQueryId: Long = 10, bits: Int = 4,
+      tables: Int = 4, dim: Int = 64): String =
+    s"""WITH $embBase,
+       |planes(t, p, v) AS (VALUES
+       |${graft.functions.Planes.sqlValuesTables(tables, bits, dim)}),
+       |buck AS MATERIALIZED (
+       |  SELECT e.vec_id, p.t,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.v[i])) > 0
+       |      THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, t,
+       |    CASE WHEN r.j = 0 THEN bucket
+       |         ELSE xor(bucket, (1::BIGINT << (r.j - 1))) END AS bucket
+       |  FROM buck CROSS JOIN range(0, ${bits + 1}) r(j)
+       |  WHERE vec_id < $maxQueryId),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT pr.query_id, b.vec_id AS neighbor_id
+       |  FROM probes pr JOIN buck b ON pr.t = b.t AND pr.bucket = b.bucket
+       |  WHERE pr.query_id <> b.vec_id),
+       |s AS MATERIALIZED (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(ROUND(10000.0 * ${dotSql("q", "c")} / (sqrt(q.nrm) * sqrt(c.nrm))) AS BIGINT) AS cos_i4
+       |  FROM cand
+       |  JOIN e q ON cand.query_id = q.vec_id
+       |  JOIN e c ON cand.neighbor_id = c.vec_id)
+       |SELECT query_id, neighbor_id, cos_i4, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_i4 DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) z
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   val eventsWindow: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -125,12 +125,18 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), 3).orderBy("a", "b")),
 
-    // training-data pipeline: similarity search
+    // training-data pipeline: similarity search. The quadratic
+    // crossJoin near-dup (Dedup.embeddingNearDup) is TEST-ORACLE-ONLY:
+    // the driver queries ride the bucketed LSH paths, which are the
+    // shapes that survive 100 TB.
     "emb_topk" -> ((s, d) =>
       Similarity.bruteTopK(emb(s, d), col("vec_id") < 10, 5)
         .orderBy("query_id", "rank")),
-    "emb_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDup(emb(s, d), 0.3).orderBy("a", "b")),
+    "emb_lsh_neardup" -> ((s, d) =>
+      Similarity.lshNearDup(emb(s, d), 0.3, bits = 8).orderBy("a", "b")),
+    "ann_topk" -> ((s, d) =>
+      Similarity.annTopK(emb(s, d), col("vec_id") < 10, k = 5, bits = 4,
+        tables = 4).orderBy("query_id", "rank")),
 
     // events: tumbling-window aggregation (batch form)
     "events_window" -> ((s, d) => {
@@ -152,8 +158,6 @@ object SparkEntry {
 
     // rows-only checks (no SQL-expressible oracle; semantics tested
     // in the ScalaTest suite against in-JVM oracles):
-    "emb_lsh_neardup" -> ((s, d) =>
-      Similarity.lshNearDup(emb(s, d), 0.3, bits = 8).orderBy("a", "b")),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.docsAsMedia(docs(s, d)))
         .select(col("doc_id"), col("frame_no")).orderBy("doc_id", "frame_no")),
@@ -198,7 +202,8 @@ object SparkEntry {
     "dedup_minhash" -> PipelineOracles.dedupMinhash(5000),
     "dedup_simhash" -> PipelineOracles.dedupSimhash(3),
     "emb_topk" -> PipelineOracles.embTopK(5, 10),
-    "emb_neardup" -> PipelineOracles.embNearDup(3000),
+    "emb_lsh_neardup" -> PipelineOracles.embLshNearDup(3000, bits = 8),
+    "ann_topk" -> PipelineOracles.embAnnTopK(5, 10, bits = 4, tables = 4),
     "events_window" -> PipelineOracles.eventsWindow,
     "multimodal_meta" -> PipelineOracles.multimodalMeta,
   )

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.Hashes
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -51,37 +50,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic hyperplane component for (plane p, dimension d) in
-    * [-1, 1). */
-  def plane(seed: Long, p: Int, d: Int): Double = {
-    val h = Hashes.strhash(s"$p:$d") // small, deterministic
-    val z = graft.sources.Pages.mix(seed ^ (p.toLong << 32) ^ d.toLong ^ h)
-    (z & ((1L << 53) - 1)).toDouble / (1L << 52).toDouble - 1.0
-  }
+  /** Embedding dimensionality probe (one-row action; the matrix of plane
+    * literals must be sized before planning). */
+  private def dimOf(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
 
   /** (vec_id, bucket): sign-LSH bucket of each embedding under `bits`
-    * deterministic hyperplanes. Typed map: per-row dense math. */
+    * deterministic hyperplanes. The planes are FLOAT LITERALS from
+    * [[graft.functions.Planes]] baked into the plan, and each sign test is
+    * a codegen'd FloatDot against them — the identical double sequence is
+    * expressible in the DuckDB oracle, so bucket assignments are
+    * verifiable cross-engine (and reproducible across runs/partitions). */
   def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        var bucket = 0L
-        var p = 0
-        while (p < bits) {
-          var s = 0.0
-          var d = 0
-          while (d < v.length) { s += v(d) * plane(seed, p, d); d += 1 }
-          if (s > 0) bucket |= (1L << p)
-          p += 1
-        }
-        (id, bucket)
-      }.toDF("vec_id", "bucket")
+    val planes = graft.functions.Planes.matrix(bits, dimOf(emb), seed)
+    val bucket = (0 until bits).map { p =>
+      when(dot(col("embedding"), typedLit(planes(p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** LSH-bucketed near-duplicate pairs: candidates share a bucket, then
     * exact cosine ≥ threshold. Lower `bits` → higher recall, bigger
-    * buckets. Recall vs the quadratic baseline is probabilistic (tested). */
+    * buckets. Recall vs the quadratic baseline is probabilistic (tested);
+    * precision is exact (cosine re-verified). */
   def lshNearDup(emb: DataFrame, threshold: Double = 0.3, bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val buckets = lshBuckets(emb, bits, seed)
@@ -92,11 +84,58 @@ object Similarity {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("bucket"), col("vec_id").as("b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
+    // each vector lives in exactly one bucket, so pairs are already unique
     a.join(b, "bucket").filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(lit(10000.0) * cosine(col("ea"), col("na"), col("eb"), col("nb")))
           .cast("long").as("cos_i4"))
       .filter(col("cos_i4") >= math.round(threshold * 10000))
-      .distinct()
+  }
+
+  /** Approximate-nearest-neighbor top-k — the 100 TB shape of
+    * [[bruteTopK]]: instead of scanning the corpus per query, the corpus
+    * is bucketed ONCE per hash table and each query probes its own bucket
+    * plus all Hamming-1 neighbors (multi-probe) in each of `tables`
+    * independent plane sets, then exact cosine re-ranks the candidate
+    * union. Recall ≈ 1 − (1 − (q^b + b·q^(b−1)(1−q)))^T for per-bit
+    * agreement q — tunable via (bits, tables) as the corpus grows (larger
+    * bits → smaller buckets, more tables/probes → recall back up).
+    * Output (query_id, neighbor_id, cos_i4, rank); recall vs bruteTopK is
+    * spec-tested, and the whole pipeline is SQL-expressible (the planes
+    * are shared float literals), so the driver oracle verifies it. */
+  def annTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4,
+      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val bucketsAll = (0 until tables).map { t =>
+      lshBuckets(emb, bits, seed + t)
+        .select(col("vec_id"), lit(t).as("tbl"), col("bucket"))
+    }.reduce(_ unionAll _)
+    // probe masks: the bucket itself + each single-bit flip
+    val masks = array((0L +: (0 until bits).map(j => 1L << j)).map(lit): _*)
+    val qProbes = bucketsAll
+      .join(emb.filter(queryPred).select("vec_id"), "vec_id")
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(masks).as("mask"), col("bucket"))
+      .select(col("query_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    val cand = qProbes
+      .join(bucketsAll.select(col("vec_id").as("neighbor_id"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val q = withNorm.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = withNorm.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(lit(10000.0) * dot(col("qe"), col("ce")) /
+          (sqrt(col("qn")) * sqrt(col("cn"))))
+          .cast("long").as("cos_i4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_i4").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

@@ -111,6 +111,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN top-k: recall vs brute-force top-k") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keyed(Similarity.bruteTopK(emb, col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").collect())
+    val ann = keyed(
+      Similarity.annTopK(emb, col("vec_id") < 10, 5, bits = 4, tables = 4)
+        .select("query_id", "neighbor_id").collect())
+    val recall = (ann & brute).size.toDouble / brute.size
+    // 4 tables x (4 sign bits, multi-probe Hamming<=1): per-table candidate
+    // prob ~= q^4 + 4q^3(1-q), unioned over 4 independent plane sets
+    assert(recall >= 0.9, s"ANN recall@5 = $recall")
+    assert(ann.size == brute.size) // buckets are big enough to fill k
+  }
+
   test("text analysis: token counts, quality, langid, fingerprint") {
     val tc = TextAnalysis.tokenCounts(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
