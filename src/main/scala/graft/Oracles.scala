@@ -50,6 +50,27 @@ object Oracles {
        |SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_vertices
        |FROM deg GROUP BY outdeg ORDER BY outdeg""".stripMargin
 
+  val graphTranspose: String =
+    s"SELECT dst AS src, src AS dst FROM ($E) AS e ORDER BY src, dst"
+
+  val graphInDegreeHist: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |deg AS (SELECT v.id, CAST(COALESCE(i.c, 0) AS BIGINT) AS indeg
+       |        FROM v LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i
+       |        ON v.id = i.id)
+       |SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       |FROM deg GROUP BY indeg ORDER BY indeg""".stripMargin
+
+  /** blocks×blocks sparsity grid over the dense id extent. */
+  def graphSparsity(blocks: Int = 8): String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |bs AS (SELECT (MAX(GREATEST(src, dst)) + 1 + ${blocks - 1}) // $blocks AS b FROM edges)
+       |SELECT src // (SELECT b FROM bs) AS row_block,
+       |       dst // (SELECT b FROM bs) AS col_block,
+       |       CAST(COUNT(*) AS BIGINT) AS n_edges
+       |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val graphHubs: String =
     s"""WITH edges AS MATERIALIZED ($E),
        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)
@@ -151,6 +172,14 @@ object Oracles {
        |SELECT id, CAST(ROUND(value * 1000000000) AS BIGINT) AS rank_n
        |FROM s$k ORDER BY id""".stripMargin
   }
+
+  /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
+    * pull-topo ranks (already int64-scaled, so exact). */
+  def pagerankSanity(k: Int): String =
+    s"""SELECT CAST(MAX(rank_n) AS BIGINT) AS max_rank_n,
+       |       CAST(MIN(rank_n) AS BIGINT) AS min_rank_n,
+       |       CAST(SUM(rank_n) AS BIGINT) AS sum_rank_n
+       |FROM (${pagerank(k)}) AS r""".stripMargin
 
   val graphStats: String =
     s"""WITH edges AS MATERIALIZED ($E),

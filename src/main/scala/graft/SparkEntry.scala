@@ -54,10 +54,26 @@ object SparkEntry {
       GraphOps.symmetrize(TpchGraph.edges(s, d)).orderBy("src", "dst")),
     "graph_orient" -> ((s, d) =>
       GraphOps.orientUpper(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+    "graph_transpose" -> ((s, d) =>
+      GraphOps.transpose(TpchGraph.edges(s, d)).orderBy("src", "dst")),
     "graph_degrees" -> ((s, d) =>
       GraphOps.degrees(TpchGraph.edges(s, d)).orderBy("id")),
     "graph_degree_hist" -> ((s, d) =>
       GraphOps.degreeHistogram(TpchGraph.edges(s, d)).orderBy("outdeg")),
+    "graph_indegree_hist" -> ((s, d) =>
+      GraphOps.inDegreeHistogram(TpchGraph.edges(s, d)).orderBy("indeg")),
+    "graph_sparsity" -> ((s, d) =>
+      GraphOps.sparsityPattern(TpchGraph.edges(s, d), 8)
+        .orderBy("row_block", "col_block")),
+    // edgelist2gr / gr2edgelist round-trip: export the edge table as
+    // headerless CSV, read it back through the typed ingest path; the
+    // oracle (plain edge SQL) proves the round-trip is lossless.
+    "graph_from_csv" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-csv/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.EdgeListCsv.write(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.read(s, path).orderBy("src", "dst")
+    }),
     "graph_hubs" -> ((s, d) =>
       GraphOps.hubs(TpchGraph.edges(s, d), 2.0).orderBy("id")),
     "graph_relabel" -> ((s, d) =>
@@ -76,6 +92,11 @@ object SparkEntry {
     // rounds with frontier = residual > 0
     "pagerank_residual5" -> ((s, d) =>
       rankN(PageRank.residualFixed(adjDir(s, d), 5)).orderBy("id")),
+    // sanity aggregates (PageRank-pull.cpp:354-379) over the 10-round ranks
+    "pagerank_sanity" -> ((s, d) =>
+      ranks10(s, d).agg(max("rank_n").as("max_rank_n"),
+        min("rank_n").as("min_rank_n"),
+        sum("rank_n").cast("long").as("sum_rank_n"))),
     "graph_stats" -> ((s, d) => {
       val e = TpchGraph.edges(s, d)
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -178,14 +199,19 @@ object SparkEntry {
     "graph_edges" -> Oracles.graphEdges,
     "graph_symmetrize" -> Oracles.graphSymmetrize,
     "graph_orient" -> Oracles.graphOrient,
+    "graph_transpose" -> Oracles.graphTranspose,
     "graph_degrees" -> Oracles.graphDegrees,
     "graph_degree_hist" -> Oracles.graphDegreeHist,
+    "graph_indegree_hist" -> Oracles.graphInDegreeHist,
+    "graph_sparsity" -> Oracles.graphSparsity(8),
+    "graph_from_csv" -> Oracles.graphEdges,
     "graph_hubs" -> Oracles.graphHubs,
     "graph_relabel" -> Oracles.graphRelabel,
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),
     "pagerank_residual5" -> Oracles.pagerankResidual(5),
+    "pagerank_sanity" -> Oracles.pagerankSanity(10),
     "graph_stats" -> Oracles.graphStats,
     "cc" -> Oracles.cc(20),
     "cc_sizes" -> Oracles.ccSizes(20),

@@ -61,6 +61,28 @@ object GraphOps {
   def degreeHistogram(edges: DataFrame): DataFrame =
     degrees(edges).groupBy("outdeg").agg(count(lit(1)).as("n_vertices"))
 
+  /** graph-stats indegreehist (graph-stats.cpp:51,260): in-degree
+    * histogram over all vertices (sources count with indeg 0) — the
+    * dst-side skew detector the out-degree histogram can't see. */
+  def inDegreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("indeg").agg(count(lit(1)).as("n_vertices"))
+
+  /** graph-stats sparsityPattern (graph-stats.cpp:125-141,266-277): the
+    * adjacency matrix coarsened to a `blocks`×`blocks` grid over the dense
+    * id extent; each present cell carries its edge count (the reference
+    * prints 'x' for any non-zero, this keeps the count). One scan + one
+    * grouped aggregate — no per-cell passes. */
+  def sparsityPattern(edges: DataFrame, blocks: Int = 8): DataFrame = {
+    val extent = edges
+      .agg(greatest(max(col("src")), max(col("dst")))).first().getLong(0) + 1
+    val bs = (extent + blocks - 1) / blocks
+    edges
+      .select(expr(s"src DIV $bs").as("row_block"),
+        expr(s"dst DIV $bs").as("col_block"))
+      .groupBy("row_block", "col_block")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Hub detection — vertices whose out-degree exceeds `factor`× the mean
     * out-degree; the skew-detection pass feeding edge tiling / salting
     * (cf. EDGE_TILE_SIZE tiling, PageRank-push.cpp:143-154). */
