@@ -234,15 +234,22 @@ object PipelineOracles {
       |  CAST(ROUND(10000.0 * SUM(value)) AS BIGINT) AS sum_value_i4
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Mirrors Multimodal.decodeMeta's deterministic fake (payload = the
-    * UTF-8 text bytes; the synthetic vocab is ASCII so length(text) =
-    * byte length). */
+  /** The generation side of the multimodal contract
+    * (Multimodal.imgDims): the engine must RECOVER these dimensions from
+    * real PNG bytes via ImageIO, the oracle predicts them from doc_id. */
   val multimodalMeta: String =
     """SELECT doc_id,
-      |  CAST(16 + (length(text) % 320) AS BIGINT) AS width,
-      |  CAST(16 + ((length(text) * 7 + ascii(text[1])) % 240) AS BIGINT) AS height,
-      |  CASE (length(text) + ascii(text[1])) % 3
-      |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-      |  CAST(length(text) AS BIGINT) AS n_bytes
+      |  CAST(16 + (doc_id % 32) AS BIGINT) AS width,
+      |  CAST(16 + ((doc_id * 7) % 24) AS BIGINT) AS height,
+      |  'png' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirrors Multimodal.frameCount/frameDims with stride-2 sampling. */
+  val multimodalFrames: String =
+    """SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(16 + ((doc_id + 3*f) % 32) AS BIGINT) AS width,
+      |  CAST(12 + ((doc_id * 7 + f) % 24) AS BIGINT) AS height
+      |FROM (SELECT doc_id, UNNEST(range(0, 1 + doc_id % 7)) AS f
+      |      FROM documents) z
+      |WHERE f % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin
 }

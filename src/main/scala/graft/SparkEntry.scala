@@ -169,19 +169,24 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
-    // multimodal plumbing (decode step is a documented deterministic stub)
+    // multimodal: REAL PNG decode (ImageIO) over synthesized media whose
+    // dimensions are deterministic in doc_id — the oracle predicts them
+    // from doc_id, the engine must recover them from the encoded bytes.
+    // n_bytes is codec-dependent, hence not part of the oracled columns.
     "multimodal_meta" -> ((s, d) =>
-      Multimodal.extractMeta(Multimodal.docsAsMedia(docs(s, d)))
+      Multimodal.extractMeta(Multimodal.synthesizeImages(docs(s, d)))
         .select(col("doc_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("format"),
-          col("n_bytes"))
+          col("height").cast("long").as("height"), col("format"))
         .orderBy("doc_id")),
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.synthesizeVideos(docs(s, d)), 2)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id", "frame_no")),
 
     // rows-only checks (no SQL-expressible oracle; semantics tested
     // in the ScalaTest suite against in-JVM oracles):
-    "multimodal_frames" -> ((s, d) =>
-      Multimodal.frameSample(Multimodal.docsAsMedia(docs(s, d)))
-        .select(col("doc_id"), col("frame_no")).orderBy("doc_id", "frame_no")),
     "stream_sessions" -> ((s, d) =>
       graft.streaming.EventStream
         .sessionize(s.read.parquet(s"$d/events.parquet"))
@@ -232,5 +237,6 @@ object SparkEntry {
     "ann_topk" -> PipelineOracles.embAnnTopK(5, 10, bits = 4, tables = 4),
     "events_window" -> PipelineOracles.eventsWindow,
     "multimodal_meta" -> PipelineOracles.multimodalMeta,
+    "multimodal_frames" -> PipelineOracles.multimodalFrames,
   )
 }

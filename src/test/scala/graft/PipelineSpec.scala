@@ -151,22 +151,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(lang.values.toSet.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
 
-  test("multimodal plumbing: meta schema, resize bound, frame sampling") {
-    val media = Multimodal.docsAsMedia(docs)
+  test("multimodal: real PNG decode recovers generated dims; resize; frames") {
+    val media = Multimodal.synthesizeImages(docs)
     val meta = Multimodal.extractMeta(media)
     assert(meta.columns.toSeq ==
       Seq("doc_id", "width", "height", "format", "n_bytes"))
     val m = meta.collect()
     assert(m.length == docRows.length)
     m.foreach { r =>
-      assert(r.getInt(1) >= 16 && r.getInt(1) < 336)
-      assert(Set("png", "jpeg", "webp").contains(r.getString(3)))
+      val (w, h) = Multimodal.imgDims(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"dims of ${r.getLong(0)}")
+      assert(r.getString(3) == "png")
+      assert(r.getLong(4) > 8) // real encoded payload, not a token
     }
-    val thumbs = Multimodal.resize(media, 64).collect()
-    thumbs.foreach(r => assert(r.getAs[Array[Byte]](1).length <= 130))
-    val frames = Multimodal.frameSample(media, k = 4, frameBytes = 16)
-    assert(frames.count() == docRows.length * 4L)
-    assert(frames.groupBy("doc_id").count()
-      .agg(min("count")).first().getLong(0) == 4L)
+    // thumbnails decode back to <= maxDim in both dimensions
+    val thumbs = Multimodal.resize(media, maxDim = 8).collect()
+    assert(thumbs.length == docRows.length)
+    thumbs.foreach { r =>
+      val dec = Multimodal.decodeHeader(r.getAs[Array[Byte]](1))
+      assert(dec.exists { case (w, h, f) => w <= 8 && h <= 8 && f == "png" })
+    }
+    // frame container round-trip: every 2nd frame, dims recovered
+    val frames = Multimodal
+      .frameSample(Multimodal.synthesizeVideos(docs), stride = 2).collect()
+    val expected = docRows.map { case (id, _) =>
+      id -> (0 until Multimodal.frameCount(id)).count(_ % 2 == 0) }.toMap
+    val got = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got == expected)
+    frames.foreach { r =>
+      val (w, h) = Multimodal.frameDims(r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+    }
   }
 }
