@@ -78,6 +78,72 @@ object EventStream {
       .flatMap(identity)
   }
 
+  final case class OpenSession(s: SessionAgg)
+
+  /**
+   * TRUE incremental sessionization for a streaming deployment: state
+   * holds at most the one OPEN session per user; each micro-batch folds
+   * its events into it, emitting sessions the moment their gap closes
+   * (Append semantics — each session exactly once), and an event-time
+   * timeout flushes the open session of an idle user once the watermark
+   * passes its gap. Unlike [[sessionize]] (the batch verify surface,
+   * which recomputes a user's sessions from that batch's events alone),
+   * state here is O(1) per user and sessions may span micro-batches.
+   */
+  def sessionizeIncremental(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 minute"): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def extend(s: SessionAgg, e: Ev): SessionAgg =
+      SessionAgg(s.user_id, s.session_start, e.ts, s.n_events + 1,
+        s.sum_value + e.value)
+    def fresh(uid: Long, e: Ev): SessionAgg =
+      SessionAgg(uid, e.ts, e.ts, 1, e.value)
+
+    def step(uid: Long, evs: Iterator[Ev],
+        state: GroupState[OpenSession]): Iterator[SessionAgg] = {
+      if (state.hasTimedOut) {
+        val open = state.get.s
+        state.remove()
+        Iterator.single(open)
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        val closed = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+        var open = state.getOption.map(_.s)
+        sorted.foreach { e =>
+          open = open match {
+            case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
+              closed += s; Some(fresh(uid, e))
+            case Some(s) => Some(extend(s, e))
+            case None    => Some(fresh(uid, e))
+          }
+        }
+        open.foreach { s =>
+          val deadline = s.session_end.getTime + gapMs
+          if (state.getCurrentWatermarkMs() >= deadline) {
+            // the gap already passed the watermark — close immediately
+            closed += s
+            state.remove()
+          } else {
+            state.update(OpenSession(s))
+            state.setTimeoutTimestamp(deadline)
+          }
+        }
+        closed.iterator
+      }
+    }
+
+    events.select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value"))
+      .withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
   /** Streaming deployment: parquet-dir source → windowed agg → named
     * in-memory sink (tests/demos call processAllAvailable on the handle). */
   def runWindowed(spark: SparkSession, inputDir: String,

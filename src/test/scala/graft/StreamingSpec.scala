@@ -60,6 +60,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("incremental sessionization across micro-batches equals batch sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = spark.read.parquet(eventsPath)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value"))
+      .as[EventStream.Ev].collect().sortBy(_.ts.getTime)
+    val mid = events.length / 2
+
+    val src = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionizeIncremental(src.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_inc")
+      .outputMode("append").start()
+    // two micro-batches, then far-future flush events so the watermark
+    // passes every open session's gap deadline (event-time timeout fires)
+    src.addData(events.take(mid).toSeq); q.processAllAvailable()
+    src.addData(events.drop(mid).toSeq); q.processAllAvailable()
+    val lastTs = events.last.ts.getTime
+    src.addData(EventStream.Ev(new java.sql.Timestamp(lastTs + 86400000L),
+      -1L, 0.0)); q.processAllAvailable()
+    src.addData(EventStream.Ev(new java.sql.Timestamp(lastTs + 2 * 86400000L),
+      -1L, 0.0)); q.processAllAvailable()
+    q.stop()
+
+    def key(s: EventStream.SessionAgg) =
+      (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events,
+        math.round(s.sum_value * 1e6))
+    val got = spark.sql("SELECT * FROM sess_inc").as[EventStream.SessionAgg]
+      .collect().filter(_.user_id >= 0).map(key).toSet
+    val batch = EventStream.sessionize(spark.read.parquet(eventsPath), 30)
+      .collect().map(key).toSet
+    assert(got == batch, s"incremental ${got.size} vs batch ${batch.size}")
+    assert(got.nonEmpty)
+  }
+
   test("direct edge synthesis is structurally identical to html extraction") {
     import graft.operators.GraphOps
     val direct = GraphOps.clean(
