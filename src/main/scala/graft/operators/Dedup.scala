@@ -145,14 +145,21 @@ object Dedup {
     val bandKey = (b: Int) => (0 until rows)
       .map(r => get(col("sig"), lit(b * rows + r)))
       .reduce((x, y) => pmod(x * lit(Hashes.P2) + y, lit(keyMod)))
-    val bandRows = (0 until bands).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("key"))
-    }.reduce(_ union _)
+    // all band keys in ONE pass over the signatures (explode of a struct
+    // array) — a per-band union would recompute the signature map `bands`
+    // times
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bandRows.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bandRows.select(col("band"), col("key"), col("doc_id").as("b")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // NOTE: deliberately NOT checkpointed (unlike ngram's index) — the
+    // verify probes recompute it lazily in parallel stages, which measures
+    // ~30% faster here than a serial eager materialization.
     val inv = shingleBase(docs)
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
     jaccardCount(cand, inv, math.round(threshold * 10000))

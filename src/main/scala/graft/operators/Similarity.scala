@@ -62,12 +62,30 @@ object Similarity {
     * expressible in the DuckDB oracle, so bucket assignments are
     * verifiable cross-engine (and reproducible across runs/partitions). */
   def lshBuckets(emb: DataFrame, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val planes = graft.functions.Planes.matrix(bits, dimOf(emb), seed)
-    val bucket = (0 until bits).map { p =>
+    val bucket = bucketExpr(bits, dimOf(emb), seed)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  private def bucketExpr(bits: Int, dim: Int, seed: Long): Column = {
+    val planes = graft.functions.Planes.matrix(bits, dim, seed)
+    (0 until bits).map { p =>
       when(dot(col("embedding"), typedLit(planes(p).toSeq)) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** (vec_id, tbl, bucket) for `tables` independent plane sets (table t
+    * seeded seed + t), computed in ONE pass over the embeddings — a
+    * per-table union would rescan and re-dot the corpus `tables` times. */
+  def lshBucketsMulti(emb: DataFrame, bits: Int, tables: Int,
+      seed: Long = 42L): DataFrame = {
+    val dim = dimOf(emb)
+    val perTable = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), bucketExpr(bits, dim, seed + t).as("bucket"))
+    }
+    emb.select(col("vec_id"), explode(array(perTable: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
   }
 
   /** LSH-bucketed near-duplicate pairs: candidates share a bucket, then
@@ -105,10 +123,7 @@ object Similarity {
     * are shared float literals), so the driver oracle verifies it. */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4,
       tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val bucketsAll = (0 until tables).map { t =>
-      lshBuckets(emb, bits, seed + t)
-        .select(col("vec_id"), lit(t).as("tbl"), col("bucket"))
-    }.reduce(_ unionAll _)
+    val bucketsAll = lshBucketsMulti(emb, bits, tables, seed)
     // probe masks: the bucket itself + each single-bit flip
     val masks = array((0L +: (0 until bits).map(j => 1L << j)).map(lit): _*)
     val qProbes = bucketsAll
