@@ -173,6 +173,45 @@ object Oracles {
        |FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** Deterministic hash permutation (engine's gr2randgr analog): rank of
+    * (h(id), id) with h the same integer polynomial as the engine. */
+  val graphPermute: String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")})
+       |SELECT id, CAST(ROW_NUMBER() OVER (
+       |  ORDER BY ((id % 1000003) * 2654435761 + id) % 4294967296 ASC, id ASC)
+       |  - 1 AS BIGINT) AS new_id
+       |FROM v ORDER BY id""".stripMargin
+
+  /** RemoveHighDegree: edges whose endpoints both have outdeg ≤ maxDeg. */
+  def graphLowDegree(maxDeg: Long): String =
+    s"""WITH edges AS MATERIALIZED ($E),
+       |high AS MATERIALIZED (
+       |  SELECT src AS id FROM edges GROUP BY src HAVING COUNT(*) > $maxDeg)
+       |SELECT src, dst FROM edges
+       |WHERE src NOT IN (SELECT id FROM high)
+       |  AND dst NOT IN (SELECT id FROM high)
+       |ORDER BY src, dst""".stripMargin
+
+  /** k unrolled BFS rounds from source = min vertex id: reached vertices
+    * only (no infinity sentinel), hop distances. */
+  def bfs(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM s${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, s.dist + 1 AS dist
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.id
+         |  ) u GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |s0 AS MATERIALIZED (SELECT MIN(id) AS id, CAST(0 AS BIGINT) AS dist FROM v),
+       |$iters
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
+  }
+
   /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
     * pull-topo ranks (already int64-scaled, so exact). */
   def pagerankSanity(k: Int): String =

@@ -78,6 +78,24 @@ object SparkEntry {
       GraphOps.hubs(TpchGraph.edges(s, d), 2.0).orderBy("id")),
     "graph_relabel" -> ((s, d) =>
       GraphOps.relabelByDegree(TpchGraph.edges(s, d)).orderBy("id")),
+    "graph_permute" -> ((s, d) =>
+      GraphOps.permuteRandom(TpchGraph.edges(s, d)).orderBy("id")),
+    "graph_lowdegree" -> ((s, d) =>
+      GraphOps.removeHighDegree(TpchGraph.edges(s, d), 10)
+        .orderBy("src", "dst")),
+    // gr2mtx / mtx2gr round-trip through MatrixMarket text
+    "graph_from_mtx" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-mtx/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.EdgeListCsv.writeMtx(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.readMtx(s, path).orderBy("src", "dst")
+    }),
+    // BFS (SURVEY §2.6): 4 fixed rounds from source = min vertex id
+    "bfs_4" -> ((s, d) => {
+      val adj = adjDir(s, d)
+      val src = adj.vertices.agg(min("id")).first().getLong(0)
+      Bfs.fixedRounds(adj, src, 4).orderBy("id")
+    }),
 
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
@@ -212,6 +230,10 @@ object SparkEntry {
     "graph_from_csv" -> Oracles.graphEdges,
     "graph_hubs" -> Oracles.graphHubs,
     "graph_relabel" -> Oracles.graphRelabel,
+    "graph_permute" -> Oracles.graphPermute,
+    "graph_lowdegree" -> Oracles.graphLowDegree(10),
+    "graph_from_mtx" -> Oracles.graphEdges,
+    "bfs_4" -> Oracles.bfs(4),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),

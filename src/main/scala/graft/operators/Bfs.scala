@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Hop-distance BFS — the reference's `bfs` Lonestar app
+ * (lonestar/analytics/cpu/bfs/bfs.cpp:60-75, Sync/Async tile variants;
+ * SURVEY.md §2.6). Out of the north rule's four named algorithms, but it
+ * is the canonical frontier kernel the engine's other iterative operators
+ * reuse, so the BSP form comes almost for free.
+ *
+ * State holds REACHED vertices only — (id, dist) — so there is no
+ * "infinity" sentinel anywhere: per round the frontier (vertices reached
+ * last round) scatters dist+1 along out-edges, an anti-join keeps the
+ * genuinely new vertices (BFS distances are final on first touch with
+ * unit weights), and the union grows the state. O(frontier) join work per
+ * round against the persisted src-partitioned blocks; the newly-reached
+ * count rides the materializing pass via Dataset.observe.
+ */
+object Bfs {
+
+  /** Exactly k rounds (the SQL-oracle kernel): every vertex within k hops
+    * of `source`, with its hop distance. */
+  def fixedRounds(adj: Adjacency, source: Long, k: Int): DataFrame = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    var state = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val scatter = adj.blocks
+        .join(state, adj.blocks("src") === state("id"))
+        .select(explode(col("dsts")).as("id"), (col("dist") + 1).as("dist"))
+      state = state.unionAll(scatter)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** To fixpoint with frontier gating: (reached (id, dist), rounds). */
+  def run(adj: Adjacency, source: Long, maxIter: Int = 10000): (DataFrame, Int) = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    var state = Seq((source, 0L, true)).toDF("id", "dist", "fresh")
+      .localCheckpoint(true)
+    var newly = 1L
+    var rounds = 0
+    while (newly > 0 && rounds < maxIter) {
+      val frontier = state.filter(col("fresh"))
+      val mins = adj.blocks
+        .join(frontier, adj.blocks("src") === frontier("id"))
+        .select(explode(col("dsts")).as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+      val grown = mins.join(state, Seq("id"), "left_anti")
+      val obs = org.apache.spark.sql.Observation(s"bfs_$rounds")
+      state = state.select(col("id"), col("dist"), lit(false).as("fresh"))
+        .unionAll(grown.select(col("id"), col("dist"), lit(true).as("fresh")))
+        .observe(obs, sum(when(col("fresh"), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint(true)
+      newly = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
+      rounds += 1
+    }
+    (state.select(col("id"), col("dist")), rounds)
+  }
+}

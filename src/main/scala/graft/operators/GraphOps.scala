@@ -107,6 +107,38 @@ object GraphOps {
       .select(col("id"), col("new_id"))
   }
 
+  /** gr2randgr (graph-convert.cpp:166,1069-1095 RandomizeNodes): permute
+    * vertex ids, as a (id, new_id) dictionary. The reference shuffles with
+    * a random_device; this engine uses a DETERMINISTIC engine-neutral hash
+    * permutation (rank of (h(id), id) via the distributed global rank) so
+    * the output is reproducible and oracle-verifiable — same graph
+    * isomorphism class, fixed seed. */
+  def permuteRandom(edges: DataFrame): DataFrame = {
+    // h(id) = ((id mod 1000003) * 2654435761 + id) mod 2^32: stays far
+    // below 2^63 (ANSI-safe) and is plain integer SQL on the oracle side
+    val h = (col("id") % lit(1000003L)) * lit(2654435761L) + col("id")
+    graft.plans.Ranking.globalRank(
+      vertices(edges).select(col("id"), pmod(h, lit(4294967296L)).as("h")),
+      Seq(col("h").asc, col("id").asc), "new_id")
+      .select(col("id"), col("new_id"))
+  }
+
+  /** gr2lowdegreegr (graph-convert.cpp:158,1593-1650 RemoveHighDegree):
+    * keep only edges whose BOTH endpoints have out-degree ≤ maxDegree
+    * (degree in the stored orientation, like the reference). Re-iding the
+    * survivors is the dictionary pass's job ([[relabelByDegree]] /
+    * densify), kept separate here. */
+  def removeHighDegree(edges: DataFrame, maxDegree: Long): DataFrame = {
+    // anti-join against the HIGH set (not semi-join on the low set): a
+    // dst with no out-edges has out-degree 0 and must be kept
+    val high = outDegrees(edges).filter(col("outdeg") > maxDegree)
+      .select(col("id"))
+    edges
+      .join(high.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(high.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+  }
+
   /** Apply a relabel dictionary to an edge table (two broadcast-or-shuffle
     * hash joins, like the reference's offline re-id pass). */
   def applyRelabel(edges: DataFrame, dict: DataFrame): DataFrame = {

@@ -105,6 +105,47 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("BFS: fixpoint equals fixed-k at saturation and a hand BFS oracle") {
+    val e = df(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 4L), (7L, 1L)))
+    val adj = Adjacency.build(GraphOps.clean(e))
+    val (reached, rounds) = Bfs.run(adj, source = 1L)
+    val got = labelMap(reached)
+    // hand BFS from 1 over the directed edges above
+    assert(got == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L))
+    assert(rounds <= 5)
+    val fixed = labelMap(Bfs.fixedRounds(adj, 1L, 10))
+    assert(fixed == got)
+    adj.unpersist()
+  }
+
+  test("permuteRandom is a deterministic bijection onto 0..V-1") {
+    val e = df(Seq((1L, 2L), (2L, 3L), (5L, 9L)))
+    val m1 = labelMap(GraphOps.permuteRandom(e))
+    val m2 = labelMap(GraphOps.permuteRandom(e))
+    assert(m1 == m2) // deterministic
+    assert(m1.values.toSet == (0L until m1.size).toSet) // dense bijection
+  }
+
+  test("removeHighDegree keeps edges with both endpoint outdegs <= max") {
+    val e = df(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 1L),
+      (5L, 2L)))
+    // outdeg: 1 -> 3, 2 -> 1, 3 -> 1, 5 -> 1; maxDegree = 2 drops vertex 1
+    val kept = GraphOps.removeHighDegree(e, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((2L, 3L), (5L, 2L)))
+  }
+
+  test("MatrixMarket export/ingest round-trips the edge table") {
+    val e = df(Seq((0L, 1L), (1L, 2L), (4L, 0L)))
+    val path = "target/mtx-roundtrip-spec"
+    graft.sources.EdgeListCsv.writeMtx(e, path)
+    val back = graft.sources.EdgeListCsv.readMtx(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((0L, 1L), (1L, 2L), (4L, 0L)))
+  }
+
   test("globalRank plan never funnels through a single partition") {
     import org.apache.spark.sql.functions.col
     val e = df((1L to 200L).map(i => (i, (i % 7) + 1)))
