@@ -76,8 +76,11 @@ object Hashes {
   }
 
   /** MinHash signature over the distinct shingles. */
-  def minhashSig(text: String, numHashes: Int): Array[Long] = {
-    val sh = shingles(text)
+  def minhashSig(text: String, numHashes: Int): Array[Long] =
+    minhashSigOf(shingles(text), numHashes)
+
+  /** MinHash signature of a pre-computed shingle set. */
+  def minhashSigOf(sh: Seq[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { s =>
       val x = strhash(s)

@@ -34,23 +34,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("keep_id"), col("n_docs"))
 
-  /** Distinct word-trigram shingles as an array column (codegen'd HOFs;
-    * must mirror Hashes.shingles and the SQL oracle). */
-  def shingleArr(text: Column, n: Int = 3): Column = {
-    val t = split(text, " ")
-    // guard: sequence(0, negative) would run backwards for < n tokens
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(t, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** Per-doc shingle base: (doc_id, sh, nsh) for docs with ≥ 1 shingle.
+    * A typed map over Hashes.shingles (which the SQL oracle mirrors
+    * term-for-term), NOT a transform/concat_ws HOF column: Spark's
+    * higher-order functions are CodegenFallback and interpret the lambda
+    * per element — measured 6-10× slower than this flatMap for the same
+    * output. */
+  private def shingleBase(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = Hashes.shingles(t)
+        if (sh.isEmpty) None else Some((id, sh, sh.length.toLong))
+      }.toDF("doc_id", "sh", "nsh")
   }
-
-  /** Per-doc shingle base: (doc_id, sh, nsh) for docs with ≥ 1 shingle. */
-  private def shingleBase(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), shingleArr(col("text")).as("sh"))
-    .filter(size(col("sh")) > 0)
-    .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("nsh"))
 
   /** (a, b, jacc_i4): ALL document pairs with n-gram Jaccard ≥ threshold —
     * an EXACT similarity join via prefix filtering (Bayardo et al. WWW'07;
@@ -114,13 +112,18 @@ object Dedup {
   }
 
   /** MinHash signatures (id, sig[numHashes]) via a typed map (integer
-    * polynomial hashes — see Hashes; SQL-replicable). */
+    * polynomial hashes — see Hashes; SQL-replicable). Docs with no
+    * shingles (< 3 tokens) are DROPPED: they can't be near-dups of
+    * anything, the oracle loses them via UNNEST, and their Long.MaxValue
+    * signature sentinels would overflow the band-key fold under ANSI. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, Hashes.minhashSig(t, numHashes)) }
-      .toDF("doc_id", "sig")
+      .flatMap { case (id, t) =>
+        val sh = Hashes.shingles(t)
+        if (sh.isEmpty) None else Some((id, Hashes.minhashSigOf(sh, numHashes)))
+      }.toDF("doc_id", "sig")
   }
 
   /** LSH near-dup pairs: band the signature (rows = numHashes/bands per
@@ -129,13 +132,10 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    // Docs with no shingles (< 3 tokens) would keep the Long.MaxValue
-    // sentinel in every signature slot, and the band-key fold below would
-    // overflow int64 (ANSI mode throws). They can't be near-dups of
-    // anything (empty shingle set), so drop them before signing — this
-    // also mirrors the SQL oracle, where empty lists vanish via UNNEST.
-    val sigs = minhashSignatures(
-      docs.filter(size(shingleArr(col("text"))) > 0), numHashes)
+    // empty-shingle docs are dropped inside minhashSignatures (they would
+    // otherwise overflow the band-key fold under ANSI via the MaxValue
+    // sentinels; the SQL oracle loses them via UNNEST)
+    val sigs = minhashSignatures(docs, numHashes)
     // band key: polynomial fold of the band's rows, mod 2^40 so the fold
     // never overflows int64 (acc < 2^40, x P2 < 2^60). For rows = 2 the
     // mod is the identity (P2^2 < 2^40), which keeps the SQL oracle's
