@@ -212,6 +212,19 @@ object Oracles {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** BFS-order relabel: rank by (hop distance from min-id source,
+    * id), unreached last. k must cover the reachable diameter (like the
+    * CC oracle's fixed unroll). */
+  def bfsRelabel(k: Int): String =
+    s"""WITH b AS MATERIALIZED (${bfs(k)}),
+       |edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")})
+       |SELECT v.id, CAST(ROW_NUMBER() OVER (
+       |  ORDER BY COALESCE(b.dist, 9223372036854775807) ASC, v.id ASC)
+       |  - 1 AS BIGINT) AS new_id
+       |FROM v LEFT JOIN b ON v.id = b.id
+       |ORDER BY v.id""".stripMargin
+
   /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
     * pull-topo ranks (already int64-scaled, so exact). */
   def pagerankSanity(k: Int): String =

@@ -96,6 +96,13 @@ object SparkEntry {
       val src = adj.vertices.agg(min("id")).first().getLong(0)
       Bfs.fixedRounds(adj, src, 4).orderBy("id")
     }),
+    // gr2sortedbfsgr: BFS-traversal-order relabel (20 rounds >> diameter
+    // at driver scales, like the CC oracle's unroll)
+    "graph_bfs_relabel" -> ((s, d) => {
+      val adj = adjDir(s, d)
+      val src = adj.vertices.agg(min("id")).first().getLong(0)
+      Bfs.relabel(adj, src, 20).orderBy("id")
+    }),
 
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
@@ -234,6 +241,7 @@ object SparkEntry {
     "graph_lowdegree" -> Oracles.graphLowDegree(10),
     "graph_from_mtx" -> Oracles.graphEdges,
     "bfs_4" -> Oracles.bfs(4),
+    "graph_bfs_relabel" -> Oracles.bfsRelabel(20),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),

@@ -37,6 +37,22 @@ object Bfs {
     state
   }
 
+  /** gr2sortedbfsgr (graph-convert.cpp:1097-1180 SortByBFS): relabel
+    * vertices in BFS-traversal order from `source` as a (id, new_id)
+    * dictionary; unreached vertices follow, in id order. The reference's
+    * within-level visit order is worklist-nondeterministic — this engine
+    * fixes it to (hop distance, id), which is a valid BFS order and makes
+    * the output oracle-verifiable. Distributed rank, no global window. */
+  def relabel(adj: Adjacency, source: Long, rounds: Int): DataFrame = {
+    val dist = fixedRounds(adj, source, rounds)
+    val keyed = adj.vertices.join(dist, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dist"), lit(Long.MaxValue)).as("d"))
+    graft.plans.Ranking
+      .globalRank(keyed, Seq(col("d").asc, col("id").asc), "new_id")
+      .select(col("id"), col("new_id"))
+  }
+
   /** To fixpoint with frontier gating: (reached (id, dist), rounds). */
   def run(adj: Adjacency, source: Long, maxIter: Int = 10000): (DataFrame, Int) = {
     val spark = adj.blocks.sparkSession
