@@ -244,6 +244,29 @@ object PipelineOracles {
       |  'png' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gap-based sessionization re-derived relationally: a session break is
+    * a > gap-minute silence per user (events ordered by ts, value —
+    * mirroring EventStream.sessionize's sort); sessions are the cumulative
+    * sum of breaks. Tie order among equal (ts, value) rows cannot change
+    * session membership, so the grouping is deterministic. */
+  def streamSessions(gapMinutes: Int): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > ${gapMinutes * 60000L}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+       |s AS MATERIALIZED (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+       |SELECT user_id,
+       |  epoch_ms(MIN(ts)) AS session_start_ms,
+       |  epoch_ms(MAX(ts)) AS session_end_ms,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(ROUND(10000.0 * SUM(value)) AS BIGINT) AS sum_value_i4
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** Mirrors Multimodal.frameCount/frameDims with stride-2 sampling. */
   val multimodalFrames: String =
     """SELECT doc_id, CAST(f AS BIGINT) AS frame_no,

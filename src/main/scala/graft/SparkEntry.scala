@@ -210,12 +210,20 @@ object SparkEntry {
           col("height").cast("long").as("height"))
         .orderBy("doc_id", "frame_no")),
 
-    // rows-only checks (no SQL-expressible oracle; semantics tested
-    // in the ScalaTest suite against in-JVM oracles):
+    // gap-based sessionization (batch form of the streaming operator);
+    // session bounds as epoch millis so the cross-engine compare is
+    // timestamp-type-proof
     "stream_sessions" -> ((s, d) =>
       graft.streaming.EventStream
         .sessionize(s.read.parquet(s"$d/events.parquet"))
-        .toDF().orderBy("user_id", "session_start")),
+        .toDF()
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          unix_millis(col("session_end")).as("session_end_ms"),
+          col("n_events").cast("long").as("n_events"),
+          round(lit(10000.0) * col("sum_value")).cast("long")
+            .as("sum_value_i4"))
+        .orderBy("user_id", "session_start_ms")),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -268,5 +276,6 @@ object SparkEntry {
     "events_window" -> PipelineOracles.eventsWindow,
     "multimodal_meta" -> PipelineOracles.multimodalMeta,
     "multimodal_frames" -> PipelineOracles.multimodalFrames,
+    "stream_sessions" -> PipelineOracles.streamSessions(30),
   )
 }
