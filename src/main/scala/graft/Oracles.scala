@@ -225,6 +225,43 @@ object Oracles {
        |FROM v LEFT JOIN b ON v.id = b.id
        |ORDER BY v.id""".stripMargin
 
+  /** `rounds` unrolled k-core peel rounds over the symmetric graph:
+    * surviving (id, deg in surviving subgraph). */
+  def kcore(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS id FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.id
+         |  JOIN k$i b ON e.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($S),
+       |$iters
+       |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  /** k unrolled Bellman-Ford rounds from source = min vertex id, with the
+    * synthetic weight 1 + (src + dst) mod 9 (the edge table carries no
+    * weights; the engine uses the identical integer expression). */
+  def sssp(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM s${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, s.dist + (1 + (e.src + e.dst) % 9) AS dist
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.id
+         |  ) u GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |s0 AS MATERIALIZED (SELECT MIN(id) AS id, CAST(0 AS BIGINT) AS dist FROM v),
+       |$iters
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
+  }
+
   /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
     * pull-topo ranks (already int64-scaled, so exact). */
   def pagerankSanity(k: Int): String =

@@ -103,6 +103,16 @@ object SparkEntry {
       val src = adj.vertices.agg(min("id")).first().getLong(0)
       Bfs.relabel(adj, src, 20).orderBy("id")
     }),
+    // k-core peel over the symmetric graph (SURVEY §2.6), 10 fixed rounds
+    "kcore_8" -> ((s, d) =>
+      KCore.fixedRounds(GraphOps.symmetrize(TpchGraph.edges(s, d)), 8, 10)
+        .orderBy("id")),
+    // weighted SSSP / Bellman-Ford rounds (SURVEY §2.6), synthetic weights
+    "sssp_4" -> ((s, d) => {
+      val adj = adjDir(s, d)
+      val src = adj.vertices.agg(min("id")).first().getLong(0)
+      Sssp.fixedRounds(adj, src, 4).orderBy("id")
+    }),
 
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
@@ -250,6 +260,8 @@ object SparkEntry {
     "graph_from_mtx" -> Oracles.graphEdges,
     "bfs_4" -> Oracles.bfs(4),
     "graph_bfs_relabel" -> Oracles.bfsRelabel(20),
+    "kcore_8" -> Oracles.kcore(8, 10),
+    "sssp_4" -> Oracles.sssp(4),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),

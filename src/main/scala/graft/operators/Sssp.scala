@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Single-source shortest paths — the reference's `sssp` Lonestar app
+ * (lonestar/analytics/cpu/sssp/SSSP.cpp:58-84, delta-stepping ×9
+ * variants; SURVEY.md §2.6). Delta-stepping's bucketed worklist is a
+ * shared-memory scheduling order; its BSP fixpoint is plain Bellman-Ford
+ * relaxation rounds, which is what a bulk-synchronous engine runs — same
+ * distances, O(E_frontier) per round.
+ *
+ * The driver edge table carries no weights, so the operator takes a
+ * weight expression over (src, dst); [[syntheticWeight]] is the
+ * deterministic default (1 + (src + dst) mod 9 ∈ [1, 9]), replicable in
+ * plain integer SQL for the oracle.
+ *
+ * State holds reached vertices only; unlike BFS, a reached vertex CAN
+ * improve (shorter weighted path arrives later), so the frontier is
+ * "improved last round" rather than "new last round".
+ */
+object Sssp {
+
+  /** Deterministic synthetic edge weight in [1, 9]. */
+  def syntheticWeight(src: Column, dst: Column): Column =
+    lit(1L) + pmod(src + dst, lit(9L))
+
+  private def scatter(adj: Adjacency, frontier: DataFrame): DataFrame =
+    adj.blocks
+      .join(frontier, adj.blocks("src") === frontier("id"))
+      .select(col("src"), explode(col("dsts")).as("nbr"), col("dist"))
+      .select(col("nbr").as("id"),
+        (col("dist") + syntheticWeight(col("src"), col("nbr"))).as("dist"))
+      .groupBy("id").agg(min(col("dist")).as("dist"))
+
+  /** Exactly k relaxation rounds (the SQL-oracle kernel): every vertex
+    * reachable within k hops, with its best ≤k-hop weighted distance. */
+  def fixedRounds(adj: Adjacency, source: Long, k: Int): DataFrame = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    var state = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    for (_ <- 1 to k) {
+      state = state.unionAll(scatter(adj, state))
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** Bellman-Ford to fixpoint with an improved-vertices frontier:
+    * (distances (id, dist), rounds). */
+  def run(adj: Adjacency, source: Long, maxIter: Int = 10000): (DataFrame, Int) = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    var state = Seq((source, 0L, true)).toDF("id", "dist", "improved")
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val frontier = state.filter(col("improved"))
+      val cand = scatter(adj, frontier)
+      val obs = org.apache.spark.sql.Observation(s"sssp_$rounds")
+      state = state
+        .join(cand.withColumnRenamed("dist", "nd"), Seq("id"), "full")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("improved"))
+        .observe(obs, sum(when(col("improved"), 1L).otherwise(0L)).as("n"))
+        .localCheckpoint(true)
+      changed = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
+      rounds += 1
+    }
+    (state.select(col("id"), col("dist")), rounds)
+  }
+}

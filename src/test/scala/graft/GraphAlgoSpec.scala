@@ -120,6 +120,34 @@ class GraphAlgoSpec extends AnyFunSuite {
     adj.unpersist()
   }
 
+  test("k-core peel matches a hand oracle and fixed-rounds at saturation") {
+    // triangle {1,2,3} + tail 3-4-5: 2-core = the triangle
+    val e = GraphOps.symmetrize(df(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L))))
+    val (core, rounds) = KCore.run(e, k = 2)
+    val got = labelMap(core)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(rounds <= 4)
+    assert(labelMap(KCore.fixedRounds(e, 2, 10)) == got)
+    // k higher than any degree empties the graph
+    assert(KCore.run(e, k = 10)._1.isEmpty)
+  }
+
+  test("SSSP Bellman-Ford matches a hand shortest-path oracle") {
+    val e = df(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val adj = Adjacency.build(GraphOps.clean(e))
+    def w(s: Long, d: Long) = 1L + (s + d) % 9
+    // dist(2) = w(1,2); dist(3) = min(w(1,3), w(1,2)+w(2,3)); dist(4) via 3
+    val d2 = w(1, 2)
+    val d3 = math.min(w(1, 3), d2 + w(2, 3))
+    val expected = Map(1L -> 0L, 2L -> d2, 3L -> d3, 4L -> (d3 + w(3, 4)))
+    val (dist, rounds) = Sssp.run(adj, 1L)
+    assert(labelMap(dist) == expected)
+    assert(rounds <= 5)
+    assert(labelMap(Sssp.fixedRounds(adj, 1L, 10)) == expected)
+    adj.unpersist()
+  }
+
   test("permuteRandom is a deterministic bijection onto 0..V-1") {
     val e = df(Seq((1L, 2L), (2L, 3L), (5L, 9L)))
     val m1 = labelMap(GraphOps.permuteRandom(e))
