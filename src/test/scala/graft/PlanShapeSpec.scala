@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan-shape guards over EVERY driver query at sf0.001: the
+  * scale-killers must never reappear in any executed plan. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("driver contract: every oracle key has a query; names are stable") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert((q -- o).isEmpty,
+      s"queries without oracles (should be none since round 2): ${q -- o}")
+  }
+
+  test("no driver query plans a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+    }
+  }
+}
