@@ -37,6 +37,27 @@ class ResumeSpec extends AnyFunSuite {
     assert(maxDiff <= 1e-12, s"resumed diverged by $maxDiff")
   }
 
+  test("pull-residual PageRank resumes mid-run and matches uninterrupted") {
+    val tol = 1e-8
+    val full = PageRank.runResidual(web.adjacency, tol = tol)
+    assert(full.converged)
+
+    val store = new SnapshotStore(tmp(), spark)
+    val partial = PageRank.runResidual(web.adjacency, tol = tol,
+      maxIter = 12, checkpointEvery = 8, store = Some(store))
+    assert(!partial.converged)
+    assert(store.latest("pagerank_residual").map(_._1).contains(8))
+
+    val resumed = PageRank.runResidual(web.adjacency, tol = tol,
+      checkpointEvery = 8, store = Some(store), resume = true)
+    assert(resumed.converged)
+
+    val a = full.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxDiff = a.map { case (id, v) => math.abs(v - b(id)) }.max
+    assert(maxDiff <= 1e-12, s"resumed diverged by $maxDiff")
+  }
+
   test("CC resumes mid-run with identical labels") {
     val store = new SnapshotStore(tmp(), spark)
     val partial = ConnectedComponents.run(symAdj, maxIter = 2,
