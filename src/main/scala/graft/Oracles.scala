@@ -262,6 +262,54 @@ object Oracles {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** Brandes betweenness for the `nSources` smallest vertex ids, BFS
+    * horizon `levels`: forward CTEs accumulate (q, id, dist, sigma) level
+    * by level; backward CTEs accumulate dependencies deepest-level-first;
+    * bc = Σ_q δ_q(v), v ≠ q, emitted ×1e9-rounded. */
+  def betweenness(nSources: Int, levels: Int): String = {
+    val fwd = (1 to levels).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT q, id, dist, sigma FROM f${r - 1}
+         |  UNION ALL
+         |  SELECT n.q, n.id, $r AS dist, n.sigma FROM (
+         |    SELECT s.q, e.dst AS id, CAST(SUM(s.sigma) AS BIGINT) AS sigma
+         |    FROM edges e JOIN f${r - 1} s ON e.src = s.id AND s.dist = ${r - 1}
+         |    GROUP BY s.q, e.dst) n
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM f${r - 1} p WHERE p.q = n.q AND p.id = n.id))""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((levels - 1) to 0 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+         |  SELECT vs.q, vs.id,
+         |    SUM((CAST(vs.sigma AS DOUBLE) / ws.sigma)
+         |        * (1.0 + COALESCE(dw.delta, 0.0))) AS delta
+         |  FROM f$levels vs
+         |  JOIN edges e ON e.src = vs.id
+         |  JOIN f$levels ws ON ws.q = vs.q AND ws.id = e.dst
+         |    AND ws.dist = ${l + 1}
+         |  LEFT JOIN d${l + 1} dw ON dw.q = ws.q AND dw.id = ws.id
+         |  WHERE vs.dist = $l
+         |  GROUP BY vs.q, vs.id)""".stripMargin
+    }.mkString(",\n")
+    val allD = (0 until levels).map(l => s"SELECT * FROM d$l")
+      .mkString("\n    UNION ALL ")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |srcs AS MATERIALIZED (SELECT id AS q FROM v ORDER BY id LIMIT $nSources),
+       |f0 AS MATERIALIZED (
+       |  SELECT q, q AS id, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |$fwd,
+       |d$levels AS (SELECT CAST(0 AS BIGINT) AS q, CAST(0 AS BIGINT) AS id,
+       |  0.0 AS delta WHERE FALSE),
+       |$bwd,
+       |bc AS (
+       |  SELECT id, SUM(delta) AS bc FROM (
+       |    $allD) u
+       |  WHERE id <> q GROUP BY id)
+       |SELECT v.id, CAST(ROUND(COALESCE(bc.bc, 0.0) * 1000000000) AS BIGINT) AS bc_n
+       |FROM v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""".stripMargin
+  }
+
   /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
     * pull-topo ranks (already int64-scaled, so exact). */
   def pagerankSanity(k: Int): String =

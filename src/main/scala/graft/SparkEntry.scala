@@ -113,6 +113,17 @@ object SparkEntry {
       val src = adj.vertices.agg(min("id")).first().getLong(0)
       Sssp.fixedRounds(adj, src, 4).orderBy("id")
     }),
+    // Brandes betweenness (SURVEY §2.6): 4 smallest ids as sources,
+    // 6-level BFS horizon, bc scaled to int64 nano-units
+    "betweenness_4x6" -> ((s, d) => {
+      val adj = adjDir(s, d)
+      val srcs = adj.vertices.orderBy("id").limit(4).collect()
+        .map(_.getLong(0)).toSeq
+      Betweenness.run(adj, srcs, maxLevels = 6)
+        .select(col("id"),
+          round(col("bc") * lit(1000000000L)).cast("long").as("bc_n"))
+        .orderBy("id")
+    }),
 
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
@@ -262,6 +273,7 @@ object SparkEntry {
     "graph_bfs_relabel" -> Oracles.bfsRelabel(20),
     "kcore_8" -> Oracles.kcore(8, 10),
     "sssp_4" -> Oracles.sssp(4),
+    "betweenness_4x6" -> Oracles.betweenness(4, 6),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),

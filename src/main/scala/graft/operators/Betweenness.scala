@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Betweenness centrality (Brandes' algorithm) for a fixed source set —
+ * the reference's `betweennesscentrality` Lonestar app
+ * (lonestar/analytics/cpu/betweennesscentrality/BetweennessCentrality.cpp:28,
+ * 77-80, Level/Async/Outer variants; SURVEY.md §2.6). The Level variant's
+ * structure maps directly to BSP:
+ *
+ *  - forward: per source, a BFS that also accumulates σ(v) — the number
+ *    of shortest s→v paths (σ of a newly reached vertex = Σ σ(parent)
+ *    over its level-(l−1) parents). All sources run AT ONCE, keyed
+ *    (q, id): one frontier join per level serves every source.
+ *  - backward: dependencies δ(v) = Σ_{w: succ on the BFS DAG}
+ *    (σ(v)/σ(w)) · (1 + δ(w)), accumulated level by level from the
+ *    deepest frontier back to the sources; bc(v) = Σ_sources δ(v),
+ *    v ≠ source (Brandes 2001, "A faster algorithm for betweenness
+ *    centrality").
+ *
+ * σ values are exact integers; δ/bc are doubles emitted ×1e9-rounded by
+ * the driver query. `maxLevels` bounds both phases (like the unrolled SQL
+ * oracle); vertices farther than maxLevels from every source contribute
+ * nothing and carry bc = 0.
+ */
+object Betweenness {
+
+  /** Forward phase: (q, id, dist, sigma) for every vertex within
+    * `maxLevels` hops of its source q. */
+  private[operators] def forward(adj: Adjacency, sources: Seq[Long],
+      maxLevels: Int): DataFrame = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    var state = sources.map(q => (q, q, 0, 1L))
+      .toDF("q", "id", "dist", "sigma").localCheckpoint(true)
+    for (r <- 1 to maxLevels) {
+      val frontier = state.filter(col("dist") === r - 1)
+      val cand = adj.blocks
+        .join(frontier, adj.blocks("src") === frontier("id"))
+        .select(col("q"), explode(col("dsts")).as("id"), col("sigma"))
+        .groupBy("q", "id").agg(sum(col("sigma")).as("sigma"))
+      val fresh = cand.join(state.select("q", "id"), Seq("q", "id"),
+        "left_anti")
+      state = state.unionAll(
+        fresh.select(col("q"), col("id"), lit(r).as("dist"), col("sigma")))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** bc scores over all vertices (0 where no dependency): (id, bc). */
+  def run(adj: Adjacency, sources: Seq[Long], maxLevels: Int): DataFrame = {
+    val spark = adj.blocks.sparkSession
+    import spark.implicits._
+    val fwd = forward(adj, sources, maxLevels)
+    // backward: deltas per level, deepest first. delta starts empty; at
+    // level l, every edge v→w with dist(v)=l, dist(w)=l+1 contributes
+    // (sigma_v / sigma_w) * (1 + delta_w) to delta_v.
+    var delta = Seq.empty[(Long, Long, Double)].toDF("q", "id", "delta")
+    var acc = delta // accumulated deltas over all levels
+    for (l <- (maxLevels - 1) to 0 by -1) {
+      val vs = fwd.filter(col("dist") === l)
+        .select(col("q"), col("id").as("v"), col("sigma").as("sv"))
+      val ws = fwd.filter(col("dist") === l + 1)
+        .select(col("q"), col("id").as("w"), col("sigma").as("sw"))
+        .join(delta.select(col("q"), col("id").as("w"),
+          col("delta").as("dw")), Seq("q", "w"), "left")
+        .select(col("q"), col("w"), col("sw"),
+          coalesce(col("dw"), lit(0.0)).as("dw"))
+      val lvl = adj.blocks
+        .join(vs, adj.blocks("src") === vs("v"))
+        .select(col("q"), col("v"), col("sv"), explode(col("dsts")).as("w"))
+        .join(ws, Seq("q", "w"))
+        .select(col("q"), col("v"),
+          ((col("sv").cast("double") / col("sw")) * (lit(1.0) + col("dw")))
+            .as("c"))
+        .groupBy(col("q"), col("v").as("id"))
+        .agg(sum(col("c")).as("delta"))
+        .localCheckpoint(true)
+      delta = lvl
+      acc = if (l == maxLevels - 1) lvl else acc.unionAll(lvl)
+    }
+    // bc(v) = sum of deltas over sources, v != source
+    val bc = acc
+      .filter(col("id") =!= col("q"))
+      .groupBy("id").agg(sum(col("delta")).as("bc"))
+    adj.vertices
+      .join(bc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
+  }
+}

@@ -148,6 +148,49 @@ class GraphAlgoSpec extends AnyFunSuite {
     adj.unpersist()
   }
 
+  test("betweenness matches an in-JVM Brandes oracle") {
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 4L), (5L, 1L))
+    val e = df(edgeSeq)
+    val adj = Adjacency.build(GraphOps.clean(e))
+    val sources = Seq(1L, 2L, 3L, 4L, 5L)
+    val got = Betweenness.run(adj, sources, maxLevels = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // Brandes reference implementation (sequential, per source)
+    val adjMap = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = edgeSeq.flatMap(t => Seq(t._1, t._2)).distinct
+    val bc = scala.collection.mutable.Map(verts.map(_ -> 0.0): _*)
+    sources.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      var i = 0
+      while (i < order.length) {
+        val v = order(i); i += 1
+        adjMap.getOrElse(v, Nil).foreach { w =>
+          if (!dist.contains(w)) {
+            dist(w) = dist(v) + 1; sigma(w) = 0L; order += w
+          }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = scala.collection.mutable.Map(order.toSeq.map(_ -> 0.0): _*)
+      order.reverse.foreach { v =>
+        adjMap.getOrElse(v, Nil).foreach { w =>
+          if (dist.contains(w) && dist(w) == dist(v) + 1)
+            delta(v) += (sigma(v).toDouble / sigma(w)) * (1.0 + delta(w))
+        }
+        if (v != s) bc(v) += delta(v)
+      }
+    }
+    verts.foreach { v =>
+      assert(math.abs(got(v) - bc(v)) < 1e-9, s"bc($v): ${got(v)} vs ${bc(v)}")
+    }
+    assert(bc.values.exists(_ > 0))
+    adj.unpersist()
+  }
+
   test("permuteRandom is a deterministic bijection onto 0..V-1") {
     val e = df(Seq((1L, 2L), (2L, 3L), (5L, 9L)))
     val m1 = labelMap(GraphOps.permuteRandom(e))
