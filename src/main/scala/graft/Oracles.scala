@@ -310,6 +310,60 @@ object Oracles {
        |FROM v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id""".stripMargin
   }
 
+  /** `rounds` unrolled deterministic Luby MIS rounds over the symmetric
+    * graph; priority = (hash, id) with the same integer polynomial as the
+    * engine. */
+  def independentSet(rounds: Int): String = {
+    def h(x: String) = s"((($x % 1000003) * 2654435761 + $x) % 4294967296)"
+    val iters = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT v.id FROM r${i - 1} v WHERE NOT EXISTS (
+         |    SELECT 1 FROM edges e JOIN r${i - 1} u
+         |    ON e.src = v.id AND e.dst = u.id
+         |    WHERE ${h("u.id")} < ${h("v.id")}
+         |       OR (${h("u.id")} = ${h("v.id")} AND u.id < v.id))),
+         |n$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id FROM edges e JOIN w$i w ON e.src = w.id),
+         |r$i AS MATERIALIZED (
+         |  SELECT id FROM r${i - 1}
+         |  WHERE id NOT IN (SELECT id FROM w$i)
+         |    AND id NOT IN (SELECT id FROM n$i))""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to rounds).map(i => s"SELECT id FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH edges AS MATERIALIZED ($S),
+       |r0 AS MATERIALIZED (${verts("edges")}),
+       |$iters
+       |SELECT id FROM (
+       |  $all) m ORDER BY id""".stripMargin
+  }
+
+  /** `rounds` unrolled k-truss support peels over the upper-oriented
+    * symmetric graph: surviving undirected edges. */
+  def ktruss(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM o${i - 1} e1
+         |  JOIN o${i - 1} e2 ON e1.dst = e2.src
+         |  JOIN o${i - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |s$i AS MATERIALIZED (
+         |  SELECT src, dst, COUNT(*) AS sup FROM (
+         |    SELECT a AS src, b AS dst FROM t$i
+         |    UNION ALL SELECT b AS src, c AS dst FROM t$i
+         |    UNION ALL SELECT a AS src, c AS dst FROM t$i) u
+         |  GROUP BY src, dst),
+         |o$i AS MATERIALIZED (
+         |  SELECT o.src, o.dst FROM o${i - 1} o
+         |  JOIN s$i s ON o.src = s.src AND o.dst = s.dst
+         |    AND s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sym AS MATERIALIZED ($S),
+       |o0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),
+       |$iters
+       |SELECT src, dst FROM o$rounds ORDER BY src, dst""".stripMargin
+  }
+
   /** Sanity aggregates (PageRank-pull.cpp:354-379) over the k-round
     * pull-topo ranks (already int64-scaled, so exact). */
   def pagerankSanity(k: Int): String =

@@ -107,6 +107,15 @@ object SparkEntry {
     "kcore_8" -> ((s, d) =>
       KCore.fixedRounds(GraphOps.symmetrize(TpchGraph.edges(s, d)), 8, 10)
         .orderBy("id")),
+    // deterministic Luby maximal-independent-set rounds (SURVEY §2.6)
+    "mis_3" -> ((s, d) =>
+      IndependentSet
+        .fixedRounds(GraphOps.symmetrize(TpchGraph.edges(s, d)), 3)
+        .orderBy("id")),
+    // k-truss support peel (SURVEY §2.6), 2 fixed rounds at trussNum 4
+    "ktruss_4" -> ((s, d) =>
+      KTruss.fixedRounds(TpchGraph.edges(s, d), 4, 2)
+        .orderBy("src", "dst")),
     // weighted SSSP / Bellman-Ford rounds (SURVEY §2.6), synthetic weights
     "sssp_4" -> ((s, d) => {
       val adj = adjDir(s, d)
@@ -272,6 +281,8 @@ object SparkEntry {
     "bfs_4" -> Oracles.bfs(4),
     "graph_bfs_relabel" -> Oracles.bfsRelabel(20),
     "kcore_8" -> Oracles.kcore(8, 10),
+    "mis_3" -> Oracles.independentSet(3),
+    "ktruss_4" -> Oracles.ktruss(4, 2),
     "sssp_4" -> Oracles.sssp(4),
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
     "pagerank" -> Oracles.pagerank(10),

@@ -148,6 +148,42 @@ class GraphAlgoSpec extends AnyFunSuite {
     adj.unpersist()
   }
 
+  test("Luby MIS is independent, maximal, and deterministic") {
+    val e = GraphOps.symmetrize(df(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 1L), (2L, 4L), (6L, 7L))))
+    val (mis, rounds) = IndependentSet.run(e)
+    val set = mis.collect().map(_.getLong(0)).toSet
+    val adjPairs = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independence: no edge inside the set
+    assert(!adjPairs.exists { case (a, b) => set(a) && set(b) })
+    // maximality: every vertex outside has a neighbor inside
+    val verts = adjPairs.flatMap(t => Set(t._1, t._2))
+    (verts -- set).foreach { v =>
+      assert(adjPairs.exists { case (a, b) => a == v && set(b) },
+        s"$v has no MIS neighbor")
+    }
+    assert(rounds <= 5)
+    // fixed-rounds prefix at saturation equals the fixpoint set
+    val fixed = IndependentSet.fixedRounds(e, 6).collect()
+      .map(_.getLong(0)).toSet
+    assert(fixed == set)
+  }
+
+  test("k-truss peel matches a per-edge triangle-support oracle") {
+    // two triangles sharing edge (2,3) + a pendant edge: the 3-truss is
+    // the two triangles; the 4-truss is empty (no edge has support 2
+    // after the pendant and cross-checks)
+    val e = df(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)))
+    val (t3, _) = KTruss.run(e, k = 3)
+    val got3 = t3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == Set((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val (t4, _) = KTruss.run(e, k = 4)
+    assert(t4.isEmpty)
+    assert(KTruss.fixedRounds(e, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == got3)
+  }
+
   test("betweenness matches an in-JVM Brandes oracle") {
     val edgeSeq = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
       (2L, 4L), (5L, 1L))
