@@ -338,6 +338,39 @@ object Oracles {
        |  $all) m ORDER BY id""".stripMargin
   }
 
+  /** `rounds` unrolled deterministic greedy-matching rounds over the
+    * upper-oriented graph; edge priority = (hash, src, dst) with the same
+    * polynomial as the engine. */
+  def matching(rounds: Int): String = {
+    def h(s: String, d: String) =
+      s"((($s % 1000003) * 1000033 + ($d % 1000003)) % 4294967296)"
+    val iters = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM r${i - 1} e WHERE NOT EXISTS (
+         |    SELECT 1 FROM r${i - 1} o
+         |    WHERE (o.src = e.src OR o.src = e.dst
+         |        OR o.dst = e.src OR o.dst = e.dst)
+         |      AND NOT (o.src = e.src AND o.dst = e.dst)
+         |      AND (${h("o.src", "o.dst")} < ${h("e.src", "e.dst")}
+         |        OR (${h("o.src", "o.dst")} = ${h("e.src", "e.dst")}
+         |          AND (o.src < e.src
+         |            OR (o.src = e.src AND o.dst < e.dst)))))),
+         |mv$i AS MATERIALIZED (
+         |  SELECT src AS id FROM w$i UNION SELECT dst AS id FROM w$i),
+         |r$i AS MATERIALIZED (
+         |  SELECT src, dst FROM r${i - 1}
+         |  WHERE src NOT IN (SELECT id FROM mv$i)
+         |    AND dst NOT IN (SELECT id FROM mv$i))""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to rounds).map(i => s"SELECT src, dst FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sym AS MATERIALIZED ($S),
+       |r0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),
+       |$iters
+       |SELECT src, dst FROM (
+       |  $all) m ORDER BY src, dst""".stripMargin
+  }
+
   /** `rounds` unrolled k-truss support peels over the upper-oriented
     * symmetric graph: surviving undirected edges. */
   def ktruss(k: Int, rounds: Int): String = {

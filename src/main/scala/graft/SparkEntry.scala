@@ -116,6 +116,9 @@ object SparkEntry {
     "ktruss_4" -> ((s, d) =>
       KTruss.fixedRounds(TpchGraph.edges(s, d), 4, 2)
         .orderBy("src", "dst")),
+    // deterministic greedy maximal matching (SURVEY §2.6), 3 rounds
+    "matching_3" -> ((s, d) =>
+      Matching.fixedRounds(TpchGraph.edges(s, d), 3).orderBy("src", "dst")),
     // weighted SSSP / Bellman-Ford rounds (SURVEY §2.6), synthetic weights
     "sssp_4" -> ((s, d) => {
       val adj = adjDir(s, d)
@@ -283,6 +286,7 @@ object SparkEntry {
     "kcore_8" -> Oracles.kcore(8, 10),
     "mis_3" -> Oracles.independentSet(3),
     "ktruss_4" -> Oracles.ktruss(4, 2),
+    "matching_3" -> Oracles.matching(3),
     "sssp_4" -> Oracles.sssp(4),
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
     "pagerank" -> Oracles.pagerank(10),

@@ -169,6 +169,25 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(fixed == set)
   }
 
+  test("greedy matching is a valid maximal matching and deterministic") {
+    val e = df(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L), (2L, 5L)))
+    val (m, rounds) = Matching.run(e)
+    val pairs = m.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedV = pairs.flatMap(t => Set(t._1, t._2))
+    // validity: no vertex matched twice
+    assert(matchedV.size == 2 * pairs.size)
+    // maximality: every undirected edge touches a matched vertex
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L), (2L, 5L))
+    und.foreach { case (a, b) =>
+      assert(matchedV(a) || matchedV(b), s"edge ($a,$b) unmatched")
+    }
+    assert(rounds <= 5)
+    assert(Matching.fixedRounds(e, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
+  }
+
   test("k-truss peel matches a per-edge triangle-support oracle") {
     // two triangles sharing edge (2,3) + a pendant edge: the 3-truss is
     // the two triangles; the 4-truss is empty (no edge has support 2
