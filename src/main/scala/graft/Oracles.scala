@@ -388,8 +388,8 @@ object Oracles {
          |  GROUP BY src, dst),
          |o$i AS MATERIALIZED (
          |  SELECT o.src, o.dst FROM o${i - 1} o
-         |  JOIN s$i s ON o.src = s.src AND o.dst = s.dst
-         |    AND s.sup >= ${k - 2})""".stripMargin
+         |  LEFT JOIN s$i s ON o.src = s.src AND o.dst = s.dst
+         |  WHERE COALESCE(s.sup, 0) >= ${k - 2})""".stripMargin
     }.mkString(",\n")
     s"""WITH sym AS MATERIALIZED ($S),
        |o0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),

@@ -73,8 +73,11 @@ object GraphOps {
     * prints 'x' for any non-zero, this keeps the count). One scan + one
     * grouped aggregate — no per-cell passes. */
   def sparsityPattern(edges: DataFrame, blocks: Int = 8): DataFrame = {
-    val extent = edges
-      .agg(greatest(max(col("src")), max(col("dst")))).first().getLong(0) + 1
+    val maxRow = edges.agg(greatest(max(col("src")), max(col("dst")))).first()
+    if (maxRow.isNullAt(0)) // empty edge table: empty grid, not an NPE
+      return edges.select(lit(0L).as("row_block"), lit(0L).as("col_block"),
+        lit(0L).as("n_edges")).limit(0)
+    val extent = maxRow.getLong(0) + 1
     val bs = (extent + blocks - 1) / blocks
     edges
       .select(expr(s"src DIV $bs").as("row_block"),
@@ -88,8 +91,9 @@ object GraphOps {
     * (cf. EDGE_TILE_SIZE tiling, PageRank-push.cpp:143-154). */
   def hubs(edges: DataFrame, factor: Double = 2.0): DataFrame = {
     val deg = outDegrees(edges)
-    val mean = deg.agg(avg(col("outdeg"))).first().getDouble(0)
-    deg.filter(col("outdeg") >= lit(factor * mean))
+    val meanRow = deg.agg(avg(col("outdeg"))).first()
+    if (meanRow.isNullAt(0)) return deg // empty: no hubs, not an NPE
+    deg.filter(col("outdeg") >= lit(factor * meanRow.getDouble(0)))
   }
 
   /** gr2sorteddegreegr (graph-convert.cpp:175-183): relabel vertices in

@@ -36,22 +36,27 @@ object KTruss {
       .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
   }
 
-  /** Semi-join the degree-oriented survivors against an id-ordered keep
-    * set (support keys are id-ordered; `o`'s orientation is not). */
-  private def keepAlive(o: DataFrame, keep: DataFrame): DataFrame =
-    o.join(keep,
-      least(o("src"), o("dst")) === keep("ksrc") &&
-        greatest(o("src"), o("dst")) === keep("kdst"),
-      "left_semi")
+  /** Keep the degree-oriented survivors whose support clears k−2. A LEFT
+    * join with coalesce(sup, 0) — not a semi-join against the filtered
+    * support set: [[support]] emits rows only for edges in ≥1 triangle, so
+    * a semi-join would drop zero-support edges even when k ≤ 2 (where
+    * sup ≥ k−2 holds at 0 and the 2-truss is the whole graph). Support
+    * keys are id-ordered; `o`'s orientation is not. */
+  private def keepAlive(o: DataFrame, sup: DataFrame, k: Int): DataFrame =
+    o.join(sup.select(col("src").as("ksrc"), col("dst").as("kdst"),
+        col("sup")),
+      least(o("src"), o("dst")) === col("ksrc") &&
+        greatest(o("src"), o("dst")) === col("kdst"),
+      "left")
+      .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+      .select(o("src"), o("dst"))
 
   /** Exactly `rounds` support-peel rounds at truss number k (the
     * SQL-oracle kernel): surviving undirected edges as (src < dst). */
   def fixedRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var o = Triangles.orientByDegree(edges).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val keep = support(o).filter(col("sup") >= k - 2)
-        .select(col("src").as("ksrc"), col("dst").as("kdst"))
-      o = keepAlive(o, keep).localCheckpoint(true)
+      o = keepAlive(o, support(o), k).localCheckpoint(true)
     }
     o.select(least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"))
@@ -65,10 +70,8 @@ object KTruss {
     var rounds = 0
     while (alive != prev && alive > 0 && rounds < maxIter) {
       prev = alive
-      val keep = support(o).filter(col("sup") >= k - 2)
-        .select(col("src").as("ksrc"), col("dst").as("kdst"))
       val obs = org.apache.spark.sql.Observation(s"ktruss_$rounds")
-      o = keepAlive(o, keep)
+      o = keepAlive(o, support(o), k)
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
       alive = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }

@@ -30,8 +30,9 @@ object EdgeListCsv {
     import org.apache.spark.sql.functions._
     val spark = edges.sparkSession
     import spark.implicits._
-    val n = edges.agg(greatest(max(col("src")), max(col("dst"))))
-      .first().getLong(0) + 1
+    val maxRow = edges.agg(greatest(max(col("src")), max(col("dst")))).first()
+    // empty graph: a valid "0 0 0" size line, not an NPE
+    val n = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
     val m = edges.count()
     val header = Seq(
       "%%MatrixMarket matrix coordinate pattern general",

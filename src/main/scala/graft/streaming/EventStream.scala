@@ -96,9 +96,15 @@ object EventStream {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
 
+    // session_end = max(end, ts), session_start = min(start, ts): the
+    // watermark admits out-of-order events WITHIN a micro-batch gap, and an
+    // event older than the open session's end must not move the end (and
+    // hence the timeout deadline / subsequent gap tests) backward.
     def extend(s: SessionAgg, e: Ev): SessionAgg =
-      SessionAgg(s.user_id, s.session_start, e.ts, s.n_events + 1,
-        s.sum_value + e.value)
+      SessionAgg(s.user_id,
+        if (e.ts.before(s.session_start)) e.ts else s.session_start,
+        if (e.ts.after(s.session_end)) e.ts else s.session_end,
+        s.n_events + 1, s.sum_value + e.value)
     def fresh(uid: Long, e: Ev): SessionAgg =
       SessionAgg(uid, e.ts, e.ts, 1, e.value)
 

@@ -201,6 +201,20 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(t4.isEmpty)
     assert(KTruss.fixedRounds(e, 3, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == got3)
+    // k <= 2: sup >= k-2 holds at support 0, so the 2-truss is the WHOLE
+    // graph — zero-support edges (the pendant) must survive the peel
+    val all = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (t2, _) = KTruss.run(e, k = 2)
+    assert(t2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == all)
+  }
+
+  test("empty edge tables: stats/export guards return empty, not NPE") {
+    val empty = df(Seq.empty[(Long, Long)])
+    assert(GraphOps.sparsityPattern(empty, 8).isEmpty)
+    assert(GraphOps.hubs(empty, 2.0).isEmpty)
+    val path = "target/mtx-empty-spec"
+    graft.sources.EdgeListCsv.writeMtx(empty, path) // "0 0 0" size line
+    assert(graft.sources.EdgeListCsv.readMtx(spark, path).isEmpty)
   }
 
   test("betweenness matches an in-JVM Brandes oracle") {

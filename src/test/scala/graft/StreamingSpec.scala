@@ -97,6 +97,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("late-but-within-watermark event in a later micro-batch cannot move " +
+      "an open session's end backward") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t0 = 1700000000000L
+    def ev(offsetMs: Long, value: Double = 1.0) =
+      EventStream.Ev(new java.sql.Timestamp(t0 + offsetMs), 1L, value)
+
+    val src = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionizeIncremental(src.toDF(), gapMinutes = 30,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    // batch 1 advances the watermark to t0 − 30s; batch 2 delivers an
+    // out-of-order event at t0 + 10s (admitted: above the watermark) that
+    // is OLDER than the open session's end (t0 + 30s). Without the
+    // max(end, ts) guard the end regressed to t0 + 10s.
+    src.addData(ev(0), ev(30000)); q.processAllAvailable()
+    src.addData(ev(10000), ev(40000)); q.processAllAvailable()
+    // flush: watermark far past the gap deadline closes the session
+    src.addData(EventStream.Ev(
+      new java.sql.Timestamp(t0 + 86400000L), -1L, 0.0))
+    q.processAllAvailable()
+    src.addData(EventStream.Ev(
+      new java.sql.Timestamp(t0 + 2 * 86400000L), -1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT * FROM sess_late")
+      .as[EventStream.SessionAgg].collect().filter(_.user_id >= 0)
+    assert(got.length == 1)
+    assert(got.head.session_start.getTime == t0)
+    assert(got.head.session_end.getTime == t0 + 40000)
+    assert(got.head.n_events == 4)
+  }
+
   test("direct edge synthesis is structurally identical to html extraction") {
     import graft.operators.GraphOps
     val direct = GraphOps.clean(
