@@ -71,11 +71,14 @@ object Oracles {
        |       CAST(COUNT(*) AS BIGINT) AS n_edges
        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  val graphHubs: String =
+  /** Hubs at `factor`× mean out-degree. The factor is written as the same
+    * double literal the engine multiplies with, and the threshold is
+    * factor * AVG (one double multiply) on both sides. */
+  def graphHubs(factor: Double): String =
     s"""WITH edges AS MATERIALIZED ($E),
        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)
        |SELECT id, outdeg FROM deg
-       |WHERE outdeg >= 2 * (SELECT AVG(outdeg) FROM deg)
+       |WHERE outdeg >= $factor * (SELECT AVG(outdeg) FROM deg)
        |ORDER BY id""".stripMargin
 
   val graphRelabel: String =
