@@ -64,10 +64,12 @@ object PipelineOracles {
        |    (t, j) -> ${strhashSql("t")} * (((j-1) % 16) + 1))) % 1000003 AS BIGINT) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Same digest grouping as Dedup.exact: md5 hex + length, never the
+    * raw text bytes. */
   val dedupExact: String =
     """SELECT keep_id, n_docs FROM (
       |  SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
-      |  FROM documents GROUP BY text) g
+      |  FROM documents GROUP BY md5(text), length(text)) g
       |ORDER BY keep_id""".stripMargin
 
   /** Shared CTE prefix: per-doc distinct shingle lists + sizes. */

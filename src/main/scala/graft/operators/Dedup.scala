@@ -28,9 +28,17 @@ import org.apache.spark.sql.expressions.Window
  */
 object Dedup {
 
-  /** Exact dedup groups: (keep_id = min doc_id per identical text, n_dups). */
+  /** Exact dedup groups: (keep_id = min doc_id per identical text, n_dups).
+    *
+    * The aggregation key is a DIGEST of the text — (md5, length), both
+    * computed map-side — never the text itself: at 100 TB a groupBy(text)
+    * ships every document's bytes through the exchange, while the digest
+    * key shuffles 40 bytes per doc. Two texts collide only on equal md5
+    * AND equal length (< 2^-80 at 10^12 docs — far below hardware error
+    * rates); the (engine-neutral) DuckDB oracle groups by the same pair. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(md5(col("text").cast("binary")).as("digest"),
+        length(col("text")).as("text_len"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .select(col("keep_id"), col("n_docs"))
 

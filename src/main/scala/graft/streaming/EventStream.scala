@@ -32,50 +32,37 @@ object EventStream {
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, sum_value: Double)
-  final case class SessState(sessions: List[SessionAgg])
-
   /**
-   * Gap-based sessionization per user via mapGroupsWithState — the custom
-   * state shape the reference's worklists have no equivalent for. Works on
-   * batch Datasets too (NoTimeout), which is how the deterministic test
-   * drives it; a streaming deployment would use ProcessingTimeTimeout to
-   * emit open sessions.
+   * Gap-based sessionization (batch surface), fully relational: a session
+   * break is a > gap silence per user (`lag` over (ts, value) order — the
+   * same tie order the incremental path replays), sessions are the running
+   * sum of breaks, bounds/counts one grouped aggregate. No per-group
+   * buffering anywhere: the window sort spills through Spark's external
+   * sorter, so a crawler user_id with 10^8 events skews a task's TIME but
+   * can't OOM it (the round-2 `evs.toSeq.sortBy` shape could — see
+   * [[sessionizeIncremental]] for the O(1)-state streaming path).
    */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-
-    def split(evs: Iterator[Ev]): List[SessionAgg] = {
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-      if (sorted.isEmpty) Nil
-      else {
-        val out = scala.collection.mutable.ListBuffer.empty[SessionAgg]
-        var start = sorted.head.ts; var last = sorted.head.ts
-        var n = 0; var sum = 0.0; var uid = sorted.head.user_id
-        sorted.foreach { e =>
-          if (e.ts.getTime - last.getTime > gapMs) {
-            out += SessionAgg(uid, start, last, n, sum)
-            start = e.ts; n = 0; sum = 0.0
-          }
-          last = e.ts; n += 1; sum += e.value
-        }
-        out += SessionAgg(uid, start, last, n, sum)
-        out.toList
-      }
-    }
-
-    events.select(col("ts").cast("timestamp").as("ts"), col("user_id"),
-        col("value")).as[Ev]
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, List[SessionAgg]](
-        GroupStateTimeout.NoTimeout)(
-        (_: Long, evs: Iterator[Ev], state: GroupState[SessState]) => {
-          val sessions = split(evs)
-          state.update(SessState(sessions))
-          sessions
-        })
-      .flatMap(identity)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("value"))
+    events
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("value"))
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("brk",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .as[SessionAgg]
   }
 
   final case class OpenSession(s: SessionAgg)

@@ -17,6 +17,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"queries without oracles (should be none since round 2): ${q -- o}")
   }
 
+  test("exact dedup never shuffles raw text bytes (digest-keyed exchange)") {
+    val plan = SparkEntry.queries("dedup_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("md5"), "aggregate key should be the md5 digest")
+    assert(!plan.contains("hashpartitioning(text"),
+      s"raw text used as an exchange key:\n${plan.take(2000)}")
+  }
+
+  test("batch sessionization plans no per-group buffering (window, not " +
+      "mapGroups)") {
+    val plan = SparkEntry.queries("stream_sessions")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups"),
+      s"batch sessionize still buffers per user:\n${plan.take(2000)}")
+  }
+
   test("no driver query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
