@@ -265,6 +265,31 @@ object Oracles {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
   }
 
+  private val W = TpchGraph.weightedEdgesSql
+
+  /** Weighted edge table (the weighted-surface round-trip queries). */
+  val graphWeightedEdges: String =
+    s"SELECT src, dst, w FROM ($W) AS e ORDER BY src, dst"
+
+  /** k unrolled Bellman-Ford rounds over REAL edge weights (the weighted
+    * fixture's deterministic 1 + (src*7 + dst*13) % 97). */
+  def ssspWeighted(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM s${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, s.dist + e.w AS dist
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.id
+         |  ) u GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($W),
+       |v AS MATERIALIZED (${verts("edges")}),
+       |s0 AS MATERIALIZED (SELECT MIN(id) AS id, CAST(0 AS BIGINT) AS dist FROM v),
+       |$iters
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
+  }
+
   /** Brandes betweenness for the `nSources` smallest vertex ids, BFS
     * horizon `levels`: forward CTEs accumulate (q, id, dist, sigma) level
     * by level; backward CTEs accumulate dependencies deepest-level-first;

@@ -31,6 +31,9 @@ object SparkEntry {
   private def adjSym(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "sym"),
       Adjacency.build(GraphOps.symmetrize(TpchGraph.edges(s, dir))))
+  private def adjWeighted(s: SparkSession, dir: String): Adjacency =
+    adjCache.getOrElseUpdate(key(s, dir, "wdir"),
+      Adjacency.buildWeighted(TpchGraph.weightedEdges(s, dir)))
 
   // Result memos: pagerank/pagerank_top20 and cc/cc_sizes share one run.
   private val dfCache =
@@ -128,6 +131,59 @@ object SparkEntry {
       val adj = adjDir(s, d)
       val src = adj.vertices.agg(min("id")).first().getLong(0)
       Sssp.fixedRounds(adj, src, 4).orderBy("id")
+    }),
+    // SSSP over REAL edge weights (the reference default: .gr edge
+    // payloads, sssp/SSSP.cpp:58-84) — weighted blocked CSR whose blocks
+    // carry (dsts, ws) parallel arrays
+    "sssp_weighted4" -> ((s, d) => {
+      val adj = adjWeighted(s, d)
+      val src = adj.vertices.agg(min("id")).first().getLong(0)
+      Sssp.weightedFixedRounds(adj, src, 4).orderBy("id")
+    }),
+    // weighted-surface round trips: 3-field CSV, MatrixMarket `real`,
+    // DIMACS `a src dst w` arcs, neo4j bulk-import CSVs — each written
+    // then re-ingested; the oracle (plain weighted edge SQL) proves the
+    // round trip lossless
+    "graph_from_csv_w" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-csvw/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.EdgeListCsv.writeWeighted(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.EdgeListCsv.readWeighted(s, path)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .orderBy("src", "dst")
+    }),
+    "graph_from_mtx_w" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-mtxw/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.EdgeListCsv.writeMtxWeighted(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.EdgeListCsv.readMtxWeighted(s, path)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .orderBy("src", "dst")
+    }),
+    "graph_from_dimacs" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-dimacs/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats.writeDimacs(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.TextFormats.readDimacs(s, path).orderBy("src", "dst")
+    }),
+    "graph_to_neo4j" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-neo4j/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats.writeNeo4j(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.TextFormats.readNeo4jEdges(s, path).orderBy("src", "dst")
+    }),
+    // unweighted text converters: node list / adjacency list round trips
+    "graph_from_nodelist" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-nodelist/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats.writeNodelist(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.readNodelist(s, path).orderBy("src", "dst")
+    }),
+    "graph_from_adjlist" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-adjlist/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats.writeAdjacencyList(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.readAdjacencyList(s, path).orderBy("src", "dst")
     }),
     // Brandes betweenness (SURVEY §2.6): 4 smallest ids as sources,
     // 6-level BFS horizon, bc scaled to int64 nano-units
@@ -292,6 +348,13 @@ object SparkEntry {
     "ktruss_4" -> Oracles.ktruss(4, 2),
     "matching_3" -> Oracles.matching(3),
     "sssp_4" -> Oracles.sssp(4),
+    "sssp_weighted4" -> Oracles.ssspWeighted(4),
+    "graph_from_csv_w" -> Oracles.graphWeightedEdges,
+    "graph_from_mtx_w" -> Oracles.graphWeightedEdges,
+    "graph_from_dimacs" -> Oracles.graphWeightedEdges,
+    "graph_to_neo4j" -> Oracles.graphWeightedEdges,
+    "graph_from_nodelist" -> Oracles.graphEdges,
+    "graph_from_adjlist" -> Oracles.graphEdges,
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),

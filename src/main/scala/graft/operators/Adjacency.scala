@@ -70,7 +70,29 @@ object Adjacency {
       edges: DataFrame,
       blockSize: Int = 1024,
       numPartitions: Int = 32,
-      explicitVertices: Option[DataFrame] = None): Adjacency = {
+      explicitVertices: Option[DataFrame] = None): Adjacency =
+    buildInternal(edges, weighted = false, blockSize, numPartitions,
+      explicitVertices)
+
+  /** Weighted build over (src, dst, w): blocks additionally carry a `ws`
+    * array ALIGNED with `dsts` — the Spark form of the reference's
+    * `edgeData` parallel array (LC_CSR_Graph.h:169-175; typed edge
+    * payloads written by graph-convert, graph-convert.cpp:118-131).
+    * Weighted kernels (SSSP) explode `arrays_zip(dsts, ws)`. */
+  def buildWeighted(
+      edges: DataFrame,
+      blockSize: Int = 1024,
+      numPartitions: Int = 32,
+      explicitVertices: Option[DataFrame] = None): Adjacency =
+    buildInternal(edges, weighted = true, blockSize, numPartitions,
+      explicitVertices)
+
+  private def buildInternal(
+      edges: DataFrame,
+      weighted: Boolean,
+      blockSize: Int,
+      numPartitions: Int,
+      explicitVertices: Option[DataFrame]): Adjacency = {
 
     // Two-phase CSR build like the reference's degree-count → scatter
     // (graph-convert.cpp:3027-3050): degree pass, then tile assignment
@@ -80,15 +102,24 @@ object Adjacency {
     // dst residues can collapse (a hub whose targets share a residue class
     // would re-create one giant block); hashing spreads any dst set
     // uniformly. Still deterministic, so block contents are invariant to
-    // input partitioning (sort_array canonicalizes within-block order).
+    // input partitioning (sort_array canonicalizes within-block order; the
+    // weighted form sorts (dst, w) structs, keeping ws aligned with dsts).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val blocks = edges
+    val tiled = edges
       .join(deg, "src")
       .withColumn("tile",
         pmod(xxhash64(col("dst")), ceil(col("deg") / blockSize)))
       .groupBy(col("src"), col("tile"), col("deg"))
-      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
-      .select(col("src"), col("deg"), col("dsts"))
+    val grouped =
+      if (weighted)
+        tiled.agg(sort_array(collect_list(struct(col("dst"), col("w"))))
+            .as("nb"))
+          .select(col("src"), col("deg"), col("nb.dst").as("dsts"),
+            col("nb.w").as("ws"))
+      else
+        tiled.agg(sort_array(collect_list(col("dst"))).as("dsts"))
+          .select(col("src"), col("deg"), col("dsts"))
+    val blocks = grouped
       .repartition(numPartitions, col("src"))
       // cache SORTED within partitions: the per-superstep join then never
       // re-sorts the O(E) side (SMJ reuses the cached ordering, and with

@@ -29,6 +29,25 @@ object TpchGraph {
     GraphOps.clean(raw)
   }
 
+  /** Deterministic edge weight in [1, 97] — plain integer arithmetic on
+    * the endpoint ids so the DuckDB oracle reproduces it exactly. Not
+    * symmetric under src/dst swap (directed surface); undirected weighted
+    * fixtures apply it to the (min, max)-oriented pair. */
+  def weightOf(src: org.apache.spark.sql.Column,
+      dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1L) + pmod(src * 7 + dst * 13, lit(97L))
+
+  /** Weighted directed fixture: [[edges]] + the deterministic weight. */
+  def weightedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir).withColumn("w", weightOf(col("src"), col("dst")))
+
+  /** Weighted undirected fixture for MST: upper-oriented symmetrized
+    * [[edges]] with the weight on the ordered pair (symmetric by
+    * construction). */
+  def weightedUndirected(spark: SparkSession, sfDir: String): DataFrame =
+    GraphOps.orientUpper(edges(spark, sfDir))
+      .withColumn("w", weightOf(col("src"), col("dst")))
+
   /** The same derivation as ANSI SQL (DuckDB oracle side). */
   val edgesSql: String =
     """SELECT DISTINCT src, dst FROM (
@@ -43,4 +62,14 @@ object TpchGraph {
        |  SELECT src, dst FROM ($edgesSql) AS e0
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM ($edgesSql) AS e1) AS u""".stripMargin
+
+  /** [[weightedEdges]] as SQL. */
+  val weightedEdgesSql: String =
+    s"""SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 97 AS BIGINT) AS w
+       |FROM ($edgesSql) AS e""".stripMargin
+
+  /** [[weightedUndirected]] as SQL (MST fixture). */
+  val weightedUndirectedSql: String =
+    s"""SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 97 AS BIGINT) AS w
+       |FROM ($symEdgesSql) AS s WHERE src < dst""".stripMargin
 }

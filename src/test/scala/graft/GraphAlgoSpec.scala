@@ -277,6 +277,60 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(kept == Set((2L, 3L), (5L, 2L)))
   }
 
+  test("weighted SSSP over real ws arrays matches a hand oracle") {
+    import TestSpark.spark.implicits._
+    // 1 --4--> 2, 1 --1--> 3, 3 --1--> 2, 2 --10--> 4, 3 --7--> 4, 4 --1--> 5
+    val we = Seq((1L, 2L, 4L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 10L),
+      (3L, 4L, 7L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val adj = Adjacency.buildWeighted(we)
+    val expect = Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 8L, 5L -> 9L)
+    val (dist, _) = Sssp.runWeighted(adj, 1L)
+    assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == expect)
+    assert(Sssp.weightedFixedRounds(adj, 1L, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    adj.unpersist()
+  }
+
+  test("weighted round trips: csv, MatrixMarket real, DIMACS, neo4j") {
+    import TestSpark.spark.implicits._
+    val we = Seq((0L, 1L, 5L), (1L, 2L, 3L), (4L, 0L, 97L))
+      .toDF("src", "dst", "w")
+    val expect = Set((0L, 1L, 5L), (1L, 2L, 3L), (4L, 0L, 97L))
+    def triples(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    graft.sources.EdgeListCsv.writeWeighted(we, "target/csvw-spec")
+    assert(triples(graft.sources.EdgeListCsv
+      .readWeighted(spark, "target/csvw-spec")
+      .selectExpr("src", "dst", "CAST(w AS LONG) AS w")) == expect)
+
+    graft.sources.EdgeListCsv.writeMtxWeighted(we, "target/mtxw-spec")
+    assert(triples(graft.sources.EdgeListCsv
+      .readMtxWeighted(spark, "target/mtxw-spec")
+      .selectExpr("src", "dst", "CAST(w AS LONG) AS w")) == expect)
+
+    graft.sources.TextFormats.writeDimacs(we, "target/dimacs-spec")
+    assert(triples(graft.sources.TextFormats
+      .readDimacs(spark, "target/dimacs-spec")) == expect)
+
+    graft.sources.TextFormats.writeNeo4j(we, "target/neo4j-spec")
+    assert(triples(graft.sources.TextFormats
+      .readNeo4jEdges(spark, "target/neo4j-spec")) == expect)
+  }
+
+  test("nodelist and adjacency-list export/ingest round-trips") {
+    val e = df(Seq((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L)))
+    val expect = Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L))
+    graft.sources.TextFormats.writeNodelist(e, "target/nodelist-spec")
+    assert(graft.sources.TextFormats.readNodelist(spark, "target/nodelist-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    graft.sources.TextFormats.writeAdjacencyList(e, "target/adjlist-spec")
+    assert(graft.sources.TextFormats
+      .readAdjacencyList(spark, "target/adjlist-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+  }
+
   test("MatrixMarket export/ingest round-trips the edge table") {
     val e = df(Seq((0L, 1L), (1L, 2L), (4L, 0L)))
     val path = "target/mtx-roundtrip-spec"
