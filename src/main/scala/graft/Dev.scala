@@ -88,6 +88,24 @@ object Dev {
             col("id").cast("double").as("v"))
           .groupBy("k").agg(sum("v")).agg(count(lit(1))).first()
         println(f"[probe] shuffle-agg: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      case "mst" =>
+        import spark.implicits._
+        val rnd = new scala.util.Random(7)
+        val n = args.lift(1).map(_.toInt).getOrElse(30)
+        val es = (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b), (rnd.nextInt(12) + 1).toLong)
+        }.filter(e => e._1 != e._2)
+          .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+        val edf = es.toDF("src", "dst", "w")
+        var t0 = System.nanoTime()
+        val (mst, rounds) = Boruvka.run(edf)
+        println(f"[mst] run: rounds=$rounds edges=${mst.count()} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+        t0 = System.nanoTime()
+        val fr = Boruvka.fixedRounds(edf, 5, 8).count()
+        println(f"[mst] fixedRounds(5,8): $fr ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
       case "tpch" =>
         val t0 = System.nanoTime()
         val adj = Adjacency.build(TpchGraph.edges(spark, "/root/testdata/sf0.001"),

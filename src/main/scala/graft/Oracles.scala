@@ -290,6 +290,57 @@ object Oracles {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM s$k ORDER BY id""".stripMargin
   }
 
+  private val WU = TpchGraph.weightedUndirectedSql
+
+  /** `rounds` unrolled Boruvka rounds over the weighted undirected
+    * fixture, each with `jumps` unrolled pointer jumps (mirrors
+    * graft.operators.Boruvka.fixedRounds step for step): the spanning
+    * forest edges picked so far. */
+  def mst(rounds: Int, jumps: Int = 12): String = {
+    val perRound = (1 to rounds).map { i =>
+      val jumpCtes = (1 to jumps).map { j =>
+        s"""p${i}_$j AS MATERIALIZED (
+           |  SELECT x.c, y.p FROM p${i}_${j - 1} x
+           |  JOIN p${i}_${j - 1} y ON x.p = y.c)""".stripMargin
+      }.mkString(",\n")
+      s"""x$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, a.comp AS cs, b.comp AS cd
+         |  FROM e${i - 1} e
+         |  JOIN c${i - 1} a ON e.src = a.id
+         |  JOIN c${i - 1} b ON e.dst = b.id
+         |  WHERE a.comp <> b.comp),
+         |sel$i AS MATERIALIZED (
+         |  SELECT c, w, src, dst, other FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c
+         |      ORDER BY w, src, dst) AS rn
+         |    FROM (
+         |      SELECT cs AS c, w, src, dst, cd AS other FROM x$i
+         |      UNION ALL
+         |      SELECT cd AS c, w, src, dst, cs AS other FROM x$i) u) z
+         |  WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM sel$i),
+         |p${i}_0 AS MATERIALIZED (
+         |  SELECT s.c,
+         |    CASE WHEN q.other = s.c AND s.c < s.other THEN s.c
+         |         ELSE s.other END AS p
+         |  FROM sel$i s JOIN sel$i q ON s.other = q.c),
+         |$jumpCtes,
+         |c$i AS MATERIALIZED (
+         |  SELECT c.id, COALESCE(p.p, c.comp) AS comp
+         |  FROM c${i - 1} c LEFT JOIN p${i}_$jumps p ON c.comp = p.c),
+         |e$i AS MATERIALIZED (SELECT src, dst, w FROM x$i)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to rounds).map(i => s"SELECT src, dst, w FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED ($WU),
+       |v AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM e0
+       |  UNION SELECT dst AS id FROM e0) vv),
+       |c0 AS MATERIALIZED (SELECT id, id AS comp FROM v),
+       |$perRound
+       |SELECT src, dst, w FROM (
+       |  $all) f ORDER BY src, dst""".stripMargin
+  }
+
   /** Brandes betweenness for the `nSources` smallest vertex ids, BFS
     * horizon `levels`: forward CTEs accumulate (q, id, dist, sigma) level
     * by level; backward CTEs accumulate dependencies deepest-level-first;

@@ -185,6 +185,13 @@ object SparkEntry {
       graft.sources.TextFormats.writeAdjacencyList(TpchGraph.edges(s, d), path)
       graft.sources.TextFormats.readAdjacencyList(s, path).orderBy("src", "dst")
     }),
+    // Boruvka minimum-spanning-forest rounds (SURVEY §2.6) over the
+    // weighted undirected fixture: 2 component-min-edge pick + contract
+    // rounds, 12 pointer jumps per contraction (2^12 > any driver
+    // component count, so contraction is complete)
+    "mst_2" -> ((s, d) =>
+      Boruvka.fixedRounds(TpchGraph.weightedUndirected(s, d), 2, 12)
+        .orderBy("src", "dst")),
     // Brandes betweenness (SURVEY §2.6): 4 smallest ids as sources,
     // 6-level BFS horizon, bc scaled to int64 nano-units
     "betweenness_4x6" -> ((s, d) => {
@@ -356,6 +363,7 @@ object SparkEntry {
     "graph_from_nodelist" -> Oracles.graphEdges,
     "graph_from_adjlist" -> Oracles.graphEdges,
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
+    "mst_2" -> Oracles.mst(2, 12),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
     "pagerank_push5" -> Oracles.pagerankPush(5),

@@ -292,6 +292,44 @@ class GraphAlgoSpec extends AnyFunSuite {
     adj.unpersist()
   }
 
+  test("Boruvka spanning forest equals Kruskal under the (w, src, dst) " +
+      "tie order") {
+    import TestSpark.spark.implicits._
+    // Kruskal with the identical total order: with unique keys the
+    // minimum spanning forest is UNIQUE, so the edge SETS must match.
+    def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.sortBy(e => (e._3, e._1, e._2)).flatMap { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 25
+      val es = (0 until n * 3).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b), (rnd.nextInt(12) + 1).toLong)
+      }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // one row per edge
+      val edf = es.toDF("src", "dst", "w")
+      val (mst, rounds) = Boruvka.run(edf)
+      val got = mst.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = kruskal(es)
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+      assert(rounds <= 10)
+      // fixed-round kernel at saturation equals the fixpoint
+      val fr = Boruvka.fixedRounds(edf, 8, 12).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fr == want)
+    }
+  }
+
   test("weighted round trips: csv, MatrixMarket real, DIMACS, neo4j") {
     import TestSpark.spark.implicits._
     val we = Seq((0L, 1L, 5L), (1L, 2L, 3L), (4L, 0L, 97L))
