@@ -36,15 +36,34 @@ final case class ComponentsResult(components: DataFrame, iterations: Int,
  * — the changed-count comes out of the materializing pass via
  * `Dataset.observe`, not a second scan. Checkpoints truncate lineage and
  * provide mid-run resume.
+ *
+ * Afforest analog (ConnectedComponents.cpp:654-1036): the reference
+ * samples 2 neighbors per vertex, detects the giant component, and skips
+ * its members in the full pass. The BSP-native equivalent here is GRAPH
+ * CONTRACTION: after `contractAfter` settling rounds, the edge set is
+ * rewritten as the DISTINCT CROSS-CLUSTER label pairs — every edge
+ * internal to an already-settled cluster (on a power-law web graph,
+ * overwhelmingly the giant component's) vanishes from all later rounds,
+ * which is the same traffic Afforest's skip removes. Contraction is
+ * exact: labels always name a same-component vertex, so cluster-graph
+ * components = original components, and the fixpoint label of a cluster
+ * group is the min original vertex id. The contracted edge count is
+ * logged to the metrics sink per the north rule.
  */
 object ConnectedComponents {
+
+  /** Capped eager checkpoint — pointer-jump self-joins square Catalyst's
+    * size estimate per round (see GraftPlanBridge). */
+  private def ck(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftPlanBridge.checkpointCapped(df)
 
   def run(
       adj: Adjacency,
       maxIter: Int = 1000,
       checkpointEvery: Int = 20,
       store: Option[SnapshotStore] = None,
-      resume: Boolean = false): ComponentsResult = {
+      resume: Boolean = false,
+      contractAfter: Int = 4): ComponentsResult = {
 
     val metrics = ArrayBuffer.empty[IterMetric]
     val resumed = if (resume) store.flatMap(_.latest("cc")) else None
@@ -53,63 +72,128 @@ object ConnectedComponents {
     // comp_old > comp_current test gating the push (l.213), widened to
     // "changed since this vertex last pushed" so a jump-round shrink is
     // still pushed by the next relax round.
-    var state = resumed.map(_._2).getOrElse(
+    var state = ck(resumed.map(_._2).getOrElse(
       adj.vertices.select(col("id"), col("id").as("comp"),
-        lit(true).as("changed")))
-      .localCheckpoint(true)
+        lit(true).as("changed"))))
 
     // stop when a relax AND the following jump both change nothing
     var lastChanged = Long.MaxValue
     var prevChanged = Long.MaxValue
     def converged = lastChanged == 0 && prevChanged == 0
 
-    while (!converged && iter < maxIter) {
-      val t0 = System.nanoTime()
-      val relaxRound = iter % 2 == 0
+    // one relax-or-jump superstep over (state, mins-producer); returns the
+    // next state after observe + capped checkpoint, and updates counters
+    def step(cur: DataFrame, relaxRound: Boolean,
+        minsOf: DataFrame => DataFrame): DataFrame = {
       val stepped =
         if (relaxRound) {
-          val frontier = state.filter(col("changed"))
-          val mins = adj.blocks
-            .join(frontier, adj.blocks("src") === frontier("id"))
-            .select(explode(col("dsts")).as("id"), col("comp").as("msg"))
-            .groupBy("id").agg(min(col("msg")).as("msg"))
-          state
+          val mins = minsOf(cur.filter(col("changed")))
+          cur
             .join(mins, Seq("id"), "left")
             .select(col("id"),
               least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"),
               (coalesce(col("msg"), col("comp")) < col("comp")).as("changed"))
         } else {
           // pointer jump: comp' = comp[comp] (inner join is safe — every
-          // comp value is a vertex id present in state)
-          val d = state.select(col("id").as("cid"), col("comp").as("ccomp"))
-          state.join(d, state("comp") === d("cid"))
-            .select(state("id"),
+          // comp value is an id present in the state)
+          val d = cur.select(col("id").as("cid"), col("comp").as("ccomp"))
+          cur.join(d, cur("comp") === d("cid"))
+            .select(cur("id"),
               col("ccomp").as("comp"),
-              (col("changed") || (col("ccomp") < state("comp"))).as("changed"))
+              (col("changed") || (col("ccomp") < cur("comp"))).as("changed"))
         }
-
       val obs = org.apache.spark.sql.Observation(s"cc_$iter")
-      var next = stepped
-        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n"))
-        .localCheckpoint(true) // truncate iterative lineage (see PageRank)
-
+      val next = ck(stepped
+        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n")))
       prevChanged = lastChanged
       lastChanged = obs.get.get("n") match {
         case Some(l: Long) => l
         case _             => 0L
       }
+      next
+    }
+
+    def blockMins(frontier: DataFrame): DataFrame =
+      adj.blocks
+        .join(frontier, adj.blocks("src") === frontier("id"))
+        .select(explode(col("dsts")).as("id"), col("comp").as("msg"))
+        .groupBy("id").agg(min(col("msg")).as("msg"))
+
+    // ---- phase 1: settling rounds over the full blocked CSR ----
+    while (!converged && iter < maxIter && iter < contractAfter) {
+      val t0 = System.nanoTime()
+      var next = step(state, iter % 2 == 0, blockMins)
       iter += 1
       val ms = (System.nanoTime() - t0) / 1000000
       metrics += IterMetric(iter, lastChanged.toDouble, adj.numEdges, ms)
       store.foreach(_.appendMetrics("cc", iter, lastChanged.toDouble,
         adj.numEdges, ms))
-
       if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
         next = store.get.commitState("cc", iter, next)
       }
       state = next
     }
-    ComponentsResult(state.select(col("id"), col("comp")), iter,
+    if (converged || iter >= maxIter) {
+      return ComponentsResult(state.select(col("id"), col("comp")), iter,
+        converged, metrics.toSeq)
+    }
+
+    // ---- contract: distinct cross-cluster label pairs ----
+    val tc = System.nanoTime()
+    val labels = ck(state.select(col("id"), col("comp")))
+    val lsrc = labels.select(col("id").as("src"), col("comp").as("cs"))
+    val ldst = labels.select(col("id").as("dst"), col("comp").as("cd"))
+    val obsC = org.apache.spark.sql.Observation(s"cc_contract_$iter")
+    val e1 = ck(adj.blocks
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .join(lsrc, "src").join(ldst, "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst"))
+      .distinct()
+      .observe(obsC, count(lit(1)).as("n")))
+    val contracted = obsC.get.get("n") match {
+      case Some(l: Long) => l
+      case _             => 0L
+    }
+    // metrics row: how much edge traffic the contraction removed — the
+    // "measurably fewer joined rows per round" evidence
+    store.foreach(_.appendMetrics("cc_contract", iter, contracted.toDouble,
+      adj.numEdges, (System.nanoTime() - tc) / 1000000))
+    metrics += IterMetric(iter, contracted.toDouble, adj.numEdges,
+      (System.nanoTime() - tc) / 1000000)
+
+    def clusterMins(frontier: DataFrame): DataFrame =
+      e1.join(frontier, e1("src") === frontier("id"))
+        .select(e1("dst").as("id"), col("comp").as("msg"))
+        .groupBy("id").agg(min(col("msg")).as("msg"))
+
+    def translate(cstateNow: DataFrame): DataFrame =
+      labels
+        .join(cstateNow.select(col("id").as("cid"), col("comp").as("cc")),
+          labels("comp") === col("cid"))
+        .select(labels("id"), col("cc").as("comp"), lit(true).as("changed"))
+
+    // ---- phase 2: min-label + jump fixpoint on the cluster graph ----
+    var cstate = ck(labels.select(col("comp").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"), lit(true).as("changed")))
+    lastChanged = Long.MaxValue
+    prevChanged = Long.MaxValue
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val next = step(cstate, iter % 2 == 0, clusterMins)
+      iter += 1
+      val ms = (System.nanoTime() - t0) / 1000000
+      metrics += IterMetric(iter, lastChanged.toDouble, contracted, ms)
+      store.foreach(_.appendMetrics("cc", iter, lastChanged.toDouble,
+        contracted, ms))
+      if (store.nonEmpty && (iter % checkpointEvery == 0 || converged)) {
+        // commits stay in PER-VERTEX form so any resume re-contracts from
+        // a plain (id, comp, changed) snapshot
+        store.get.commitState("cc", iter, translate(next))
+      }
+      cstate = next
+    }
+    ComponentsResult(translate(cstate).select(col("id"), col("comp")), iter,
       converged, metrics.toSeq)
   }
 

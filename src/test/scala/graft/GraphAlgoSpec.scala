@@ -31,6 +31,26 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(byComp.values.map(_.size).max > 100)
   }
 
+  test("cc contraction (Afforest analog) stays exact on a long path and " +
+      "shrinks the edge set") {
+    // path of 60 vertices + a clique: diameter >> contractAfter, so the
+    // phase-2 cluster graph is definitely exercised
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val adj = Adjacency.build(GraphOps.symmetrize(df(path ++ clique)))
+    val r = ConnectedComponents.run(adj, contractAfter = 4)
+    assert(r.converged)
+    val got = r.components.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    (0L to 59L).foreach(v => assert(got(v) == 0L))
+    (100L to 104L).foreach(v => assert(got(v) == 100L))
+    // the contraction metric row (edges = full count, value = contracted
+    // count) must show a strict shrink
+    val contractRow = r.metrics.find(m => m.l1Residual < m.edgesProcessed &&
+      m.edgesProcessed == adj.numEdges && m.l1Residual > 0)
+    assert(contractRow.nonEmpty, s"no contraction row in ${r.metrics}")
+    adj.unpersist()
+  }
+
   test("cc fixedRounds(k) matches k synchronous oracle rounds") {
     val engine = labelMap(ConnectedComponents.fixedRounds(symAdj, 3))
     val oracle = TestOracles.lpaMin(symEdgeArray, vertexIds, 3)
