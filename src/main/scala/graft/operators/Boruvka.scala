@@ -81,27 +81,23 @@ object Boruvka {
         when(col("qp") === col("c") && col("c") < col("other"), col("c"))
           .otherwise(col("other")).as("p")))
 
-    // pointer jump p' = p[p]; roots self-map so the join stays total and
-    // extra rounds are no-ops (fixed-round and fixpoint variants agree)
-    jumpRounds match {
-      case Some(n) =>
-        for (_ <- 1 to n) {
-          val pr = p.select(col("c").as("jc"), col("p").as("jp"))
-          p = ck(p.join(pr, p("p") === col("jc"))
-            .select(col("c"), col("jp").as("p")))
-        }
-      case None =>
-        var moved = 1L
-        while (moved > 0) {
-          val pr = p.select(col("c").as("jc"), col("p").as("jp"))
-          val obs = org.apache.spark.sql.Observation()
-          p = ck(p.join(pr, p("p") === col("jc"))
-            .select(col("c"), col("jp").as("p"),
-              (col("jp") =!= col("p")).as("m"))
-            .observe(obs, sum(when(col("m"), 1L).otherwise(0L)).as("n"))
-            .select(col("c"), col("p")))
-          moved = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
-        }
+    // pointer jump p' = p[p] until stable, bounded by `jumpRounds` when
+    // set. Roots self-map, so once stable every further jump is a no-op —
+    // stopping early yields EXACTLY the fixed-round result as long as the
+    // bound covers log2(#components), while skipping the no-op actions
+    // (the SQL oracle unrolls the full fixed count; same fixpoint).
+    var moved = 1L
+    var j = 0
+    while (moved > 0 && jumpRounds.forall(j < _)) {
+      val pr = p.select(col("c").as("jc"), col("p").as("jp"))
+      val obs = org.apache.spark.sql.Observation()
+      p = ck(p.join(pr, p("p") === col("jc"))
+        .select(col("c"), col("jp").as("p"),
+          (col("jp") =!= col("p")).as("m"))
+        .observe(obs, sum(when(col("m"), 1L).otherwise(0L)).as("n"))
+        .select(col("c"), col("p")))
+      moved = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
+      j += 1
     }
     (picked, p)
   }

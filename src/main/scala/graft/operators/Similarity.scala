@@ -122,8 +122,14 @@ object Similarity {
     * spec-tested, and the whole pipeline is SQL-expressible (the planes
     * are shared float literals), so the driver oracle verifies it. */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 4,
-      tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val bucketsAll = lshBucketsMulti(emb, bits, tables, seed)
+      tables: Int = 4, seed: Long = 42L,
+      index: Option[DataFrame] = None): DataFrame = {
+    // `index` is a prebuilt [[lshBucketsMulti]] frame: the corpus-side
+    // bucket index is query-independent, so callers serving many top-k
+    // queries build (and persist/checkpoint) it ONCE per (corpus, bits,
+    // tables, seed) instead of re-bucketing the corpus per invocation —
+    // the ANN analog of building the IVF index offline.
+    val bucketsAll = index.getOrElse(lshBucketsMulti(emb, bits, tables, seed))
     // probe masks: the bucket itself + each single-bit flip
     val masks = array((0L +: (0 until bits).map(j => 1L << j)).map(lit): _*)
     val qProbes = bucketsAll
