@@ -23,17 +23,19 @@ import org.apache.spark.sql.SparkSession
  *     the pages corpus at max parallelism.
  *
  * Measurement hygiene (each one was worth 2-3x in recorded numbers):
- *  - EVERY Spark workload runs in a fresh child JVM; the sbt parent never
- *    creates a SparkSession before the scaling phase, so its heap stays
- *    small and the host page cache / THP state is undisturbed. In-process
- *    back-to-back sessions share heap/JIT churn and skew ratios.
+ *  - EVERY Spark workload runs in a fresh child JVM — the scaling levels,
+ *    the query suite AND the convergence run. The sbt parent never
+ *    creates a SparkSession at all: r2's artifact ran suite+convergence
+ *    in the parent after the scaling phase and recorded a 3.3x-slower
+ *    convergence (heap churn / THP pressure). In-process back-to-back
+ *    sessions share heap/JIT churn and skew ratios.
  *  - each worker takes the best of `Loops` measured loops after a warm-up
  *    superstep (JIT + cache fill), and levels wait for the host 1-min
  *    load to settle before starting;
- *  - if the recorded 2→8 efficiency still lands under the 0.8 bar, the
- *    pair is re-measured (keeping per-level bests) up to 2 more times —
- *    the sandbox host carries background-load bursts that can halve any
- *    single run.
+ *  - every level is measured a FIXED `MeasureRounds` child runs,
+ *    best-of-N, unconditionally — no retry loop conditioned on the pass
+ *    metric (r2's adaptive re-measure was a one-sided stopping rule that
+ *    biased the recorded efficiency toward the bar).
  */
 object BenchBuilder {
   def main(args: Array[String]): Unit = {
@@ -60,6 +62,41 @@ object BenchWorker {
       iters.toInt * adj.numEdges / ((System.nanoTime() - t0) / 1e9)
     }.max
     println(s"GRAFT_RESULT ${adj.numEdges} $eps")
+    spark.stop()
+  }
+}
+
+/** Child-JVM worker: the full query suite at one parallelism level. */
+object BenchSuite {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, cpus) = args
+    val spark = Bench.session(cpus.toInt)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    spark.stop()
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"GRAFT_SUITE_TOTAL ${results.map(_._2).sum}")
+    println(s"GRAFT_SUITE $qs")
+  }
+}
+
+/** Child-JVM worker: html ingest → pull-topo PageRank to 1e-6. */
+object BenchConverge {
+  def main(args: Array[String]): Unit = {
+    val Array(pages, cpus) = args
+    val spark = Bench.session(cpus.toInt)
+    val web = WebGraph.fromPages(spark,
+      Pages.synthesize(spark, pages.toLong, numPartitions = 32),
+      numPartitions = 32)
+    val t0 = System.nanoTime()
+    val r = PageRank.runTopo(web.adjacency, tol = 1e-6, maxIter = 200)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val eps = (r.iterations.toLong * web.adjacency.numEdges / secs).round
+    println(s"GRAFT_CONV ${web.adjacency.numEdges} ${r.iterations} " +
+      s"${r.converged} ${f"$secs%.1f"} $eps")
     spark.stop()
   }
 }
@@ -144,57 +181,53 @@ object Bench {
     // 1. scaling FIRST, with the corpus built in a CHILD JVM: round-1
     // recorded numbers collapsed 2-3x at 8+ threads after the parent heap
     // had churned tens of GB (host THP/page-cache fragmentation), so the
-    // parent now orchestrates processes only and never runs Spark before
-    // the measurements.
+    // parent orchestrates processes only and never runs Spark at all.
     child("graft.BenchBuilder",
       Seq(AdjPath, scaleN.toString, scaleAvgOut.toString, cpus.toString))
-    var (scaleEdges, eps2) = prThroughput(2)
-    var eps8 = prThroughput(8)._2
-    // adaptive re-measure: host-noise bursts hit single runs; keep bests.
-    // Retry below 0.85 (not the 0.8 bar itself) so a pass lands with margin.
-    var attempts = 0
-    while ((eps8 / eps2) / 4.0 < 0.85 && attempts < 2) {
-      settle(maxLoad = 4.0, maxWaitMs = 120000)
-      eps2 = math.max(eps2, prThroughput(2)._2)
-      eps8 = math.max(eps8, prThroughput(8)._2)
-      attempts += 1
-    }
-    val eps32 = prThroughput(cpus)._2
+    // fixed best-of-N per level, unconditionally — no score-conditioned
+    // retries (a one-sided stopping rule would bias the recorded number)
+    val MeasureRounds = 2
+    var scaleEdges = 0L
+    def best(threads: Int): Double = (1 to MeasureRounds).map { _ =>
+      val (e, eps) = prThroughput(threads)
+      scaleEdges = e
+      eps
+    }.max
+    val eps2 = best(2)
+    val eps8 = best(8)
+    val eps32 = best(cpus)
     val effN4N = (eps8 / eps2) / 4.0
     val eff8to32 = (eps32 / eps8) / (cpus / 8.0)
 
-    // 2. query-suite timings
-    val suite = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(suite, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    suite.stop()
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // 2. query-suite timings — in a fresh child JVM
+    val suiteOut = child("graft.BenchSuite", Seq(sfDir, cpus.toString))
+    val qs = suiteOut.linesIterator.find(_.startsWith("GRAFT_SUITE "))
+      .map(_.stripPrefix("GRAFT_SUITE "))
+      .getOrElse(sys.error(s"suite failed:\n${suiteOut.takeRight(2000)}"))
+    val total = suiteOut.linesIterator
+      .find(_.startsWith("GRAFT_SUITE_TOTAL "))
+      .map(_.stripPrefix("GRAFT_SUITE_TOTAL ").toDouble).getOrElse(-1.0)
 
-    // 3. convergence evidence: ingest html corpus, run to 1e-6
-    val conv = session(cpus)
-    val web = WebGraph.fromPages(conv,
-      Pages.synthesize(conv, convPages, numPartitions = ScalePartitions),
-      numPartitions = ScalePartitions)
-    val t0 = System.nanoTime()
-    val r = PageRank.runTopo(web.adjacency, tol = 1e-6, maxIter = 200)
-    val convSecs = (System.nanoTime() - t0) / 1e9
-    val convEps = r.iterations.toLong * web.adjacency.numEdges / convSecs
-    conv.stop()
+    // 3. convergence evidence — in a fresh child JVM (r2 ran this in the
+    // suite-churned parent and recorded 3.3x under the engine's capability)
+    settle(maxLoad = 6.0, maxWaitMs = 90000)
+    val convOut = child("graft.BenchConverge",
+      Seq(convPages.toString, cpus.toString))
+    val convLine = convOut.linesIterator.find(_.startsWith("GRAFT_CONV"))
+      .getOrElse(sys.error(s"converge failed:\n${convOut.takeRight(2000)}"))
+    val Array(_, convEdges, convIters, convConverged, convSecs, convEps) =
+      convLine.split(" ")
 
     val pr =
       s"""{"scale_vertices":$scaleN,"scale_edges":$scaleEdges,"fixed_iters":$ScaleIters,""" +
-        s""""measured_loops":$Loops,"retry_rounds":$attempts,""" +
+        s""""measured_loops":$Loops,"measure_rounds":$MeasureRounds,""" +
         s""""edges_per_sec_iter_n2":${eps2.round},"edges_per_sec_iter_n8":${eps8.round},""" +
         s""""edges_per_sec_iter_n$cpus":${eps32.round},""" +
         s""""scaling_efficiency_n_to_4n":${f"$effN4N%.3f"},""" +
         s""""scaling_efficiency_8_to_$cpus":${f"$eff8to32%.3f"},""" +
-        s""""convergence_pages":$convPages,"convergence_edges":${web.adjacency.numEdges},""" +
-        s""""convergence_1e6_iters":${r.iterations},"convergence_converged":${r.converged},""" +
-        s""""convergence_secs":${f"$convSecs%.1f"},"convergence_edges_per_sec_iter":${convEps.round}}"""
+        s""""convergence_pages":$convPages,"convergence_edges":$convEdges,""" +
+        s""""convergence_1e6_iters":$convIters,"convergence_converged":$convConverged,""" +
+        s""""convergence_secs":$convSecs,"convergence_edges_per_sec_iter":$convEps}"""
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
