@@ -554,6 +554,50 @@ object Oracles {
        |SELECT id, label FROM s$k ORDER BY id""".stripMargin
   }
 
+  /** k unrolled synchronous Louvain local-move rounds over the symmetric
+    * graph (mirrors graft.operators.Louvain.localMoveRounds): integer
+    * score 2m·e − k·(Σtot − [cand=c]·k), alternating direction rule
+    * (odd rounds cand ≤ c, even rounds cand ≥ c), ties → smaller
+    * community. */
+  def louvain(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""sig$i AS MATERIALIZED (
+         |  SELECT s.c, CAST(SUM(d.k) AS BIGINT) AS tot
+         |  FROM st${i - 1} s JOIN deg d ON s.id = d.id GROUP BY s.c),
+         |cand$i AS MATERIALIZED (
+         |  SELECT id, cand, CAST(SUM(e) AS BIGINT) AS e FROM (
+         |    SELECT e.src AS id, s.c AS cand, COUNT(*) AS e
+         |    FROM edges e JOIN st${i - 1} s ON e.dst = s.id
+         |    GROUP BY e.src, s.c
+         |    UNION ALL
+         |    SELECT id, c AS cand, 0 AS e FROM st${i - 1}) u
+         |  GROUP BY id, cand),
+         |sc$i AS MATERIALIZED (
+         |  SELECT cd.id, cd.cand,
+         |    CAST((SELECT tot FROM m2) * cd.e
+         |      - d.k * (g.tot - CASE WHEN cd.cand = s.c THEN d.k ELSE 0 END)
+         |      AS BIGINT) AS score
+         |  FROM cand$i cd
+         |  JOIN st${i - 1} s ON cd.id = s.id
+         |  JOIN deg d ON cd.id = d.id
+         |  JOIN sig$i g ON cd.cand = g.c
+         |  WHERE cd.cand ${if (i % 2 == 1) "<=" else ">="} s.c),
+         |st$i AS MATERIALIZED (
+         |  SELECT id, cand AS c FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY score DESC, cand ASC) AS rn FROM sc$i) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($S),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM edges GROUP BY src),
+       |m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS tot FROM deg),
+       |st0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
+       |$iters
+       |SELECT id, c AS community FROM st$k ORDER BY id""".stripMargin
+  }
+
   val triangles: String =
     s"""WITH edges AS MATERIALIZED ($S),
        |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)

@@ -237,6 +237,13 @@ object SparkEntry {
     "cc_sizes" -> ((s, d) =>
       ConnectedComponents.componentSizes(ccComps(s, d)).orderBy("comp")),
 
+    // Louvain-style local-move clustering over the symmetric graph
+    // (stretch surface; reference clustering/louvainClustering.cpp):
+    // 3 synchronous integer-gain rounds with the merge-down rule
+    "louvain_3" -> ((s, d) =>
+      Louvain.localMoveRounds(
+        GraphOps.symmetrize(TpchGraph.edges(s, d)), 3).orderBy("id")),
+
     // §2.4 label propagation (directed, fixed rounds)
     "lpa_min4" -> ((s, d) =>
       LabelPropagation.runMin(adjDir(s, d), 4).orderBy("id")),
@@ -381,6 +388,7 @@ object SparkEntry {
     "graph_stats" -> Oracles.graphStats,
     "cc" -> Oracles.cc(20),
     "cc_sizes" -> Oracles.ccSizes(20),
+    "louvain_3" -> Oracles.louvain(3),
     "lpa_min4" -> Oracles.lpaMin(4),
     "lpa_mode2" -> Oracles.lpaMode(2),
     "triangles" -> Oracles.triangles,

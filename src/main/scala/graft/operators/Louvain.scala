@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Louvain-style modularity clustering, local-move phase — the reference's
+ * `clustering` apps (lonestar/analytics/cpu/clustering/
+ * louvainClustering.cpp, 1276 LoC with leidenClustering.cpp;
+ * SURVEY.md §2.4 scoped them out of the north rule, so this is the
+ * engine's stretch surface), re-shaped for BSP:
+ *
+ *  - SYNCHRONOUS rounds: every vertex evaluates the modularity gain of
+ *    joining each neighboring community against staying, all against the
+ *    previous round's assignment (the reference's shared-memory loop is
+ *    effectively asynchronous; a bulk-synchronous engine cannot replay
+ *    that order, so round-count semantics are fixed and oracle-able).
+ *  - INTEGER gain: comparing candidate communities for one vertex, the
+ *    standard ΔQ ordering reduces (dropping v-constant terms, scaling by
+ *    2m) to `score(C) = 2m·e(v→C) − k(v)·(Σtot(C) − [C = c(v)]·k(v))`
+ *    — all int64, so the DuckDB oracle matches bit-for-bit with no float
+ *    rounding discipline needed.
+ *  - ALTERNATING direction rule: odd rounds admit only moves to a
+ *    SMALLER community id, even rounds only to a LARGER one (ties on
+ *    score → smaller C). Synchronous gain moves famously oscillate (two
+ *    adjacent vertices swap communities forever); a swap needs both
+ *    directions in the same round, so each round is cycle-free, while the
+ *    alternation lets a vertex that grabbed a foreign label early escape
+ *    on the next opposite-parity round (a one-direction-only rule strands
+ *    it). Labels are names, not ranks — community IDENTITY is the output.
+ *
+ * Input: a SYMMETRIC unweighted edge table (both directions present),
+ * like CC. k(v) = row count of v's out-edges = degree; 2m = Σk.
+ */
+object Louvain {
+
+  /** Exactly `rounds` synchronous local-move rounds: (id, community). */
+  def localMoveRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val m2 = deg.agg(sum(col("k"))).first().getLong(0) // = 2m
+
+    var state = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
+    for (round <- 1 to rounds) {
+      val sigtot = state.join(deg, "id")
+        .groupBy("c").agg(sum(col("k")).as("tot"))
+      // e(v→C): edges from v into community C (via dst's assignment)
+      val nbrE = edges
+        .join(state.select(col("id").as("dst"), col("c").as("cand")), "dst")
+        .groupBy(col("src").as("id"), col("cand"))
+        .agg(count(lit(1)).as("e"))
+      // ensure v's OWN community is always a candidate (e may be 0)
+      val cand = nbrE
+        .unionAll(state.select(col("id"), col("c").as("cand"),
+          lit(0L).as("e")))
+        .groupBy("id", "cand").agg(sum(col("e")).as("e"))
+      val scored = cand
+        .join(state, "id")                       // c = current community
+        .join(deg, "id")                         // k = degree of v
+        .join(sigtot.withColumnRenamed("c", "cand"), "cand") // tot of cand
+        .filter(if (round % 2 == 1) col("cand") <= col("c")
+          else col("cand") >= col("c"))       // alternating direction
+        .withColumn("score",
+          lit(m2) * col("e") -
+            col("k") * (col("tot") -
+              when(col("cand") === col("c"), col("k")).otherwise(lit(0L))))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      state = scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("cand").as("c"))
+        .localCheckpoint(true)
+    }
+    state.select(col("id"), col("c").as("community"))
+  }
+
+  /** Modularity Q of an assignment over a symmetric edge table, ×1e4 as
+    * int64 (for reporting/specs): Q = Σ_C [ in(C)/2m − (Σtot(C)/2m)² ]
+    * with in(C) counting both directions of internal edges. */
+  def modularityI4(edges: DataFrame, assign: DataFrame): Long = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val m2 = deg.agg(sum(col("k"))).first().getLong(0).toDouble
+    val a = assign.select(col("id"), col("community"))
+    val in = edges
+      .join(a.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(a.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .count().toDouble
+    val tots = a.join(deg, "id").groupBy("community")
+      .agg(sum(col("k")).as("tot"))
+      .collect().map(_.getLong(1).toDouble)
+    val q = in / m2 - tots.map(t => (t / m2) * (t / m2)).sum
+    math.round(q * 10000)
+  }
+}

@@ -57,6 +57,28 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(engine == oracle)
   }
 
+  test("Louvain local-move: two cliques joined by a bridge separate into " +
+      "their cliques; modularity increases; deterministic") {
+    // cliques {0..4} and {10..14}, one bridge 4-10
+    val cl = (for (base <- Seq(0L, 10L); a <- base until base + 5;
+      b <- (a + 1) until base + 5) yield (a, b)) :+ (4L, 10L)
+    val e = GraphOps.symmetrize(df(cl))
+    val got = Louvain.localMoveRounds(e, 5)
+    val m = labelMap(got.select(col("id"), col("community")))
+    // each clique collapses to one community
+    assert((0L to 4L).map(m).toSet.size == 1)
+    assert((10L to 14L).map(m).toSet.size == 1)
+    assert(m(0L) != m(10L))
+    // modularity improved over singletons (Q_singleton < 0 always)
+    import TestSpark.spark.implicits._
+    val singletons = m.keys.toSeq.map(v => (v, v)).toDF("id", "community")
+    assert(Louvain.modularityI4(e, got) >
+      Louvain.modularityI4(e, singletons))
+    // deterministic across reruns
+    assert(labelMap(Louvain.localMoveRounds(e, 5)
+      .select(col("id"), col("community"))) == m)
+  }
+
   test("LPA min-combine over directed edges matches oracle") {
     val engine = labelMap(LabelPropagation.runMin(web.adjacency, 4))
     val oracle = TestOracles.lpaMin(edgeArray, vertexIds, 4)
