@@ -271,6 +271,20 @@ object Oracles {
   val graphWeightedEdges: String =
     s"SELECT src, dst, w FROM ($W) AS e ORDER BY src, dst"
 
+  /** The svmlight bipartite mapping (svmlight2gr,
+    * graph-convert.cpp:2795-2900): example ids = line numbers (= rank of
+    * src in the exported file), features shifted by the example count. */
+  val graphSvmlight: String =
+    s"""WITH w AS MATERIALIZED ($W),
+       |ex AS MATERIALIZED (
+       |  SELECT src, CAST(ROW_NUMBER() OVER (ORDER BY src) - 1 AS BIGINT) AS ex_id
+       |  FROM (SELECT DISTINCT src FROM w) s),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ex)
+       |SELECT ex.ex_id AS src,
+       |       CAST((SELECT c FROM n) + w.dst AS BIGINT) AS dst, w.w
+       |FROM w JOIN ex ON w.src = ex.src
+       |ORDER BY src, dst""".stripMargin
+
   /** k unrolled Bellman-Ford rounds over REAL edge weights (the weighted
     * fixture's deterministic 1 + (src*7 + dst*13) % 97). */
   def ssspWeighted(k: Int): String = {

@@ -172,6 +172,25 @@ object SparkEntry {
       graft.sources.TextFormats.writeNeo4j(TpchGraph.weightedEdges(s, d), path)
       graft.sources.TextFormats.readNeo4jEdges(s, path).orderBy("src", "dst")
     }),
+    // positional token-stream converters: PBBS AdjacencyGraph round trip
+    // and the svmlight bipartite example→feature ingest
+    "graph_from_pbbs" -> ((s, d) => {
+      // "d" prefix: the sanitized dir would start with "_", which the RDD
+      // textFile path (Hadoop FileInputFormat's hidden filter) rejects
+      val path = s"/root/repo/target/graft-pbbs/d" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats.writePbbs(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.readPbbs(s, path).orderBy("src", "dst")
+    }),
+    "graph_from_svmlight" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-svml/d" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats
+        .writeSvmlight(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.TextFormats.readSvmlight(s, path)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .orderBy("src", "dst")
+    }),
     // unweighted text converters: node list / adjacency list round trips
     "graph_from_nodelist" -> ((s, d) => {
       val path = s"/root/repo/target/graft-nodelist/" +
@@ -377,6 +396,8 @@ object SparkEntry {
     "graph_from_dimacs" -> Oracles.graphWeightedEdges,
     "graph_to_neo4j" -> Oracles.graphWeightedEdges,
     "graph_from_nodelist" -> Oracles.graphEdges,
+    "graph_from_pbbs" -> Oracles.graphEdges,
+    "graph_from_svmlight" -> Oracles.graphSvmlight,
     "graph_from_adjlist" -> Oracles.graphEdges,
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
     "mst_2" -> Oracles.mst(2, 12),

@@ -86,6 +86,111 @@ object TextFormats {
       .select(col("src"), col("d").cast("long").as("dst"))
   }
 
+  /** Global line numbers of a SINGLE positional text file (pbbs /
+    * svmlight are token-stream formats whose meaning is positional).
+    * textFile partitions are ordered by byte offset and zipWithIndex
+    * respects partition order, so the index is the file line number —
+    * the one honest use of an RDD here. */
+  private def numberedLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path)
+      .zipWithIndex().map { case (l, i) => (i, l.trim) }
+      .toDF("idx", "tok")
+      .filter(length(col("tok")) > 0)
+  }
+
+  /** PBBS AdjacencyGraph export (inverse of pbbs2gr,
+    * graph-convert.cpp:2235-2290): token stream `AdjacencyGraph`, n, m,
+    * n CSR start offsets, m destination ids — one token per line,
+    * vertices 0..maxId. A positional single file is inherently serial,
+    * so the offsets' running sum rides the same single partition the
+    * text write needs anyway. */
+  def writePbbs(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val maxRow = edges.agg(greatest(max(col("src")), max(col("dst")))).first()
+    val n = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    val m = edges.count()
+    val header = Seq((0L, 0L, "AdjacencyGraph"), (1L, 0L, n.toString),
+      (2L, 0L, m.toString)).toDF("ord", "seq", "value")
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = spark.range(n).select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+      .select(lit(3L).as("ord"), col("id").as("seq"),
+        coalesce(sum(col("d")).over(w), lit(0L)).cast("string").as("value"))
+    val body = edges
+      .select(lit(4L).as("ord"),
+        (col("src") * (n + 1) + col("dst")).as("seq"),
+        col("dst").cast("string").as("value"))
+    header.unionAll(offsets).unionAll(body)
+      .repartition(1).sortWithinPartitions("ord", "seq")
+      .select("value").write.mode("overwrite").text(path)
+  }
+
+  /** pbbs2gr (graph-convert.cpp:2235-2290): positional token stream —
+    * offsets at lines [3, 3+n), destinations at [3+n, 3+n+m); edge j
+    * belongs to the vertex whose offset range contains j. */
+  def readPbbs(spark: SparkSession, path: String): DataFrame = {
+    val lines = numberedLines(spark, path).localCheckpoint(true)
+    val head = lines.filter(col("idx") < 3).orderBy("idx")
+      .collect().map(_.getString(1))
+    require(head.headOption.contains("AdjacencyGraph"),
+      s"unknown pbbs header: ${head.headOption}")
+    val n = head(1).toLong
+    val m = head(2).toLong
+    val starts = lines.filter(col("idx") >= 3 && col("idx") < 3 + n)
+      .select((col("idx") - 3).as("v"), col("tok").cast("long").as("start"))
+    val nexts = starts.select((col("v") - 1).as("v"), col("start").as("end"))
+    val spans = starts.join(nexts, Seq("v"), "left")
+      .select(col("v"), col("start"),
+        (coalesce(col("end"), lit(m)) - col("start")).as("d"))
+      .filter(col("d") > 0)
+    val posToV = spans
+      .select(col("v"),
+        explode(sequence(col("start"), col("start") + col("d") - 1)).as("pos"))
+    lines.filter(col("idx") >= 3 + n)
+      .select((col("idx") - 3 - n).as("pos"), col("tok").cast("long").as("dst"))
+      .join(posToV, "pos")
+      .select(col("v").as("src"), col("dst"))
+  }
+
+  /** SVMlight export (query fixture for [[readSvmlight]]; the reference
+    * has only the ingest direction): one `label feat:val ...` line per
+    * example, examples ordered by id, features sorted. */
+  def writeSvmlight(edges: DataFrame, path: String): Unit =
+    edges
+      .select(col("src"), concat(col("dst"), lit(":"), col("w")).as("fv"),
+        col("dst"))
+      .groupBy("src")
+      .agg(array_join(array_sort(collect_list(struct(col("dst"), col("fv"))))
+        .getField("fv"), " ").as("feats"))
+      .select(col("src").as("ord"), concat(lit("1 "), col("feats")).as("value"))
+      .repartition(1).sortWithinPartitions("ord")
+      .select("value").write.mode("overwrite").text(path)
+
+  /** svmlight2gr (graph-convert.cpp:2795-2900): each line is one example
+    * node (id = line number); `feature:value` pairs with value ≠ 0 become
+    * edges to node `featureOffset + feature`, where featureOffset = the
+    * number of example lines — the bipartite example→feature graph. */
+  def readSvmlight(spark: SparkSession, path: String): DataFrame = {
+    val lines = numberedLines(spark, path).localCheckpoint(true)
+    val nExamples = lines.count()
+    val parts = split(col("tok"), " ")
+    lines
+      .select(col("idx").as("src"),
+        explode(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))))
+          .as("fv"))
+      .filter(!col("fv").startsWith("#"))
+      .select(col("src"),
+        split(col("fv"), ":").getItem(0).cast("long").as("feat"),
+        split(col("fv"), ":").getItem(1).cast("double").as("w"))
+      .filter(col("w") =!= 0.0)
+      .select(col("src"), (col("feat") + nExamples).as("dst"), col("w"))
+  }
+
   /** gr2neo4j (graph-convert.cpp:2595-2660): neo4j bulk-import CSVs —
     * `$path/nodes` with (uid:ID, :LABEL) rows labeled `v`, and
     * `$path/edges` with (:START_ID, :END_ID, :TYPE[, value]) rows labeled

@@ -399,6 +399,27 @@ class GraphAlgoSpec extends AnyFunSuite {
       .readNeo4jEdges(spark, "target/neo4j-spec")) == expect)
   }
 
+  test("pbbs AdjacencyGraph and svmlight round-trips") {
+    import TestSpark.spark.implicits._
+    // pbbs: positional CSR — vertex 3 has no out-edges (offset run of 0)
+    val e = df(Seq((0L, 1L), (0L, 4L), (1L, 2L), (4L, 0L)))
+    graft.sources.TextFormats.writePbbs(e, "target/pbbs-spec")
+    assert(graft.sources.TextFormats.readPbbs(spark, "target/pbbs-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (0L, 4L), (1L, 2L), (4L, 0L)))
+    // svmlight: examples = line numbers (rank of src), features shifted
+    // by the example count (3 examples here: srcs 2, 5, 9 → 0, 1, 2)
+    val we = Seq((2L, 0L, 5L), (2L, 3L, 7L), (5L, 1L, 2L), (9L, 0L, 4L))
+      .toDF("src", "dst", "w")
+    graft.sources.TextFormats.writeSvmlight(we, "target/svml-spec")
+    val back = graft.sources.TextFormats
+      .readSvmlight(spark, "target/svml-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2).toLong)).toSet
+    assert(back == Set((0L, 3L, 5L), (0L, 6L, 7L), (1L, 4L, 2L),
+      (2L, 3L, 4L)))
+  }
+
   test("nodelist and adjacency-list export/ingest round-trips") {
     val e = df(Seq((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L)))
     val expect = Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L))
