@@ -359,7 +359,19 @@ object Oracles {
     * horizon `levels`: forward CTEs accumulate (q, id, dist, sigma) level
     * by level; backward CTEs accumulate dependencies deepest-level-first;
     * bc = Σ_q δ_q(v), v ≠ q, emitted ×1e9-rounded. */
-  def betweenness(nSources: Int, levels: Int): String = {
+  def betweenness(nSources: Int, levels: Int): String =
+    betweennessFrom(nSources, levels, sampled = false)
+
+  /** Sampled variant: sources are the nSources vertices with the
+    * smallest engine-neutral hash (the permutation polynomial), id
+    * tie-break — the deterministic stand-in for Brandes source sampling,
+    * which is how full-graph BC runs at scale (per-source cost is a
+    * whole BFS; the estimator sums a fixed sample). */
+  def betweennessSampled(nSources: Int, levels: Int): String =
+    betweennessFrom(nSources, levels, sampled = true)
+
+  private def betweennessFrom(nSources: Int, levels: Int,
+      sampled: Boolean): String = {
     val fwd = (1 to levels).map { r =>
       s"""f$r AS MATERIALIZED (
          |  SELECT q, id, dist, sigma FROM f${r - 1}
@@ -388,7 +400,9 @@ object Oracles {
       .mkString("\n    UNION ALL ")
     s"""WITH edges AS MATERIALIZED ($E),
        |v AS MATERIALIZED (${verts("edges")}),
-       |srcs AS MATERIALIZED (SELECT id AS q FROM v ORDER BY id LIMIT $nSources),
+       |srcs AS MATERIALIZED (SELECT id AS q FROM v ORDER BY ${
+        if (sampled) "((id % 1000003) * 2654435761 + id) % 4294967296 ASC, id ASC"
+        else "id"} LIMIT $nSources),
        |f0 AS MATERIALIZED (
        |  SELECT q, q AS id, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
        |$fwd,
@@ -568,49 +582,79 @@ object Oracles {
        |SELECT id, label FROM s$k ORDER BY id""".stripMargin
   }
 
-  /** k unrolled synchronous Louvain local-move rounds over the symmetric
-    * graph (mirrors graft.operators.Louvain.localMoveRounds): integer
-    * score 2m·e − k·(Σtot − [cand=c]·k), alternating direction rule
-    * (odd rounds cand ≤ c, even rounds cand ≥ c), ties → smaller
-    * community. */
-  def louvain(k: Int): String = {
-    val iters = (1 to k).map { i =>
-      s"""sig$i AS MATERIALIZED (
+  /** One level of unrolled weighted Louvain local-move CTEs (mirrors
+    * graft.operators.Louvain.localMoveRoundsWeighted): integer score
+    * 2m·e − k·(Σtot − [cand=c]·k) with e = Σw into the candidate
+    * community (self-loops excluded), alternating direction rule (odd
+    * rounds cand ≤ c, even rounds cand ≥ c), ties → smaller community.
+    * `p` prefixes the CTE names; `e`/`deg` name the weighted edge and
+    * degree CTEs; states are `${p}0 … ${p}k`. */
+  private def louvainLevel(p: String, e: String, deg: String,
+      k: Int): String =
+    (1 to k).map { i =>
+      s"""${p}sig$i AS MATERIALIZED (
          |  SELECT s.c, CAST(SUM(d.k) AS BIGINT) AS tot
-         |  FROM st${i - 1} s JOIN deg d ON s.id = d.id GROUP BY s.c),
-         |cand$i AS MATERIALIZED (
+         |  FROM $p${i - 1} s JOIN $deg d ON s.id = d.id GROUP BY s.c),
+         |${p}cand$i AS MATERIALIZED (
          |  SELECT id, cand, CAST(SUM(e) AS BIGINT) AS e FROM (
-         |    SELECT e.src AS id, s.c AS cand, COUNT(*) AS e
-         |    FROM edges e JOIN st${i - 1} s ON e.dst = s.id
+         |    SELECT e.src AS id, s.c AS cand, CAST(SUM(e.w) AS BIGINT) AS e
+         |    FROM $e e JOIN $p${i - 1} s ON e.dst = s.id
+         |    WHERE e.src <> e.dst
          |    GROUP BY e.src, s.c
          |    UNION ALL
-         |    SELECT id, c AS cand, 0 AS e FROM st${i - 1}) u
+         |    SELECT id, c AS cand, 0 AS e FROM $p${i - 1}) u
          |  GROUP BY id, cand),
-         |sc$i AS MATERIALIZED (
+         |${p}sc$i AS MATERIALIZED (
          |  SELECT cd.id, cd.cand,
          |    CAST((SELECT tot FROM m2) * cd.e
          |      - d.k * (g.tot - CASE WHEN cd.cand = s.c THEN d.k ELSE 0 END)
          |      AS BIGINT) AS score
-         |  FROM cand$i cd
-         |  JOIN st${i - 1} s ON cd.id = s.id
-         |  JOIN deg d ON cd.id = d.id
-         |  JOIN sig$i g ON cd.cand = g.c
+         |  FROM ${p}cand$i cd
+         |  JOIN $p${i - 1} s ON cd.id = s.id
+         |  JOIN $deg d ON cd.id = d.id
+         |  JOIN ${p}sig$i g ON cd.cand = g.c
          |  WHERE cd.cand ${if (i % 2 == 1) "<=" else ">="} s.c),
-         |st$i AS MATERIALIZED (
+         |$p$i AS MATERIALIZED (
          |  SELECT id, cand AS c FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-         |      ORDER BY score DESC, cand ASC) AS rn FROM sc$i) z
+         |      ORDER BY score DESC, cand ASC) AS rn FROM ${p}sc$i) z
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS MATERIALIZED ($S),
-       |deg AS MATERIALIZED (
-       |  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k
-       |  FROM edges GROUP BY src),
-       |m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS tot FROM deg),
-       |st0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
-       |$iters
-       |SELECT id, c AS community FROM st$k ORDER BY id""".stripMargin
-  }
+
+  private val louvainBase: String =
+    s"""edges AS MATERIALIZED ($S),
+       |e1 AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges),
+       |deg1 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k FROM e1 GROUP BY src),
+       |m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS tot FROM deg1),
+       |a0 AS MATERIALIZED (SELECT id, id AS c FROM deg1)""".stripMargin
+
+  /** k unrolled local-move rounds (single level). */
+  def louvain(k: Int): String =
+    s"""WITH $louvainBase,
+       |${louvainLevel("a", "e1", "deg1", k)}
+       |SELECT id, c AS community FROM a$k ORDER BY id""".stripMargin
+
+  /** Two Louvain levels: r1 local-move rounds, aggregation into the
+    * weighted community graph (self-loops carry internal mass; 2m is
+    * invariant under coarsening), r2 rounds on it, projection back. */
+  def louvainTwoLevel(r1: Int, r2: Int): String =
+    s"""WITH $louvainBase,
+       |${louvainLevel("a", "e1", "deg1", r1)},
+       |coarse AS MATERIALIZED (
+       |  SELECT x.c AS src, y.c AS dst, CAST(SUM(e.w) AS BIGINT) AS w
+       |  FROM e1 e
+       |  JOIN a$r1 x ON e.src = x.id
+       |  JOIN a$r1 y ON e.dst = y.id
+       |  GROUP BY x.c, y.c),
+       |deg2 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k
+       |  FROM coarse GROUP BY src),
+       |b0 AS MATERIALIZED (SELECT id, id AS c FROM deg2),
+       |${louvainLevel("b", "coarse", "deg2", r2)}
+       |SELECT a.id, b.c AS community
+       |FROM a$r1 a JOIN b$r2 b ON a.c = b.id ORDER BY a.id""".stripMargin
 
   val triangles: String =
     s"""WITH edges AS MATERIALIZED ($S),

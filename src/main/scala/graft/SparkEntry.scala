@@ -222,6 +222,21 @@ object SparkEntry {
           round(col("bc") * lit(1000000000L)).cast("long").as("bc_n"))
         .orderBy("id")
     }),
+    // SOURCE-SAMPLED betweenness — the full-graph scale path (per-source
+    // cost is a whole BFS; at 10^9 vertices you estimate from a sample):
+    // sources = the 8 vertices with the smallest engine-neutral hash,
+    // deterministic and SQL-replicable
+    "betweenness_sampled8x6" -> ((s, d) => {
+      val adj = adjDir(s, d)
+      val h = (col("id") % lit(1000003L)) * lit(2654435761L) + col("id")
+      val srcs = adj.vertices
+        .orderBy(pmod(h, lit(4294967296L)).asc, col("id").asc)
+        .limit(8).collect().map(_.getLong(0)).toSeq
+      Betweenness.run(adj, srcs, maxLevels = 6)
+        .select(col("id"),
+          round(col("bc") * lit(1000000000L)).cast("long").as("bc_n"))
+        .orderBy("id")
+    }),
 
     // §2.2 PageRank (pull-topo kernel, 10 fixed supersteps for the oracle)
     "pagerank" -> ((s, d) => ranks10(s, d).orderBy("id")),
@@ -262,6 +277,11 @@ object SparkEntry {
     "louvain_3" -> ((s, d) =>
       Louvain.localMoveRounds(
         GraphOps.symmetrize(TpchGraph.edges(s, d)), 3).orderBy("id")),
+    // full multi-level shape: 2 local-move rounds, aggregate into the
+    // weighted community graph, 2 rounds there, project back
+    "louvain_2level" -> ((s, d) =>
+      Louvain.twoLevel(
+        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2).orderBy("id")),
 
     // §2.4 label propagation (directed, fixed rounds)
     "lpa_min4" -> ((s, d) =>
@@ -400,6 +420,7 @@ object SparkEntry {
     "graph_from_svmlight" -> Oracles.graphSvmlight,
     "graph_from_adjlist" -> Oracles.graphEdges,
     "betweenness_4x6" -> Oracles.betweenness(4, 6),
+    "betweenness_sampled8x6" -> Oracles.betweennessSampled(8, 6),
     "mst_2" -> Oracles.mst(2, 12),
     "pagerank" -> Oracles.pagerank(10),
     "pagerank_top20" -> Oracles.pagerankTop20(10),
@@ -410,6 +431,7 @@ object SparkEntry {
     "cc" -> Oracles.cc(20),
     "cc_sizes" -> Oracles.ccSizes(20),
     "louvain_3" -> Oracles.louvain(3),
+    "louvain_2level" -> Oracles.louvainTwoLevel(2, 2),
     "lpa_min4" -> Oracles.lpaMin(4),
     "lpa_mode2" -> Oracles.lpaMode(2),
     "triangles" -> Oracles.triangles,

@@ -35,10 +35,21 @@ import org.apache.spark.sql.functions._
  */
 object Louvain {
 
-  /** Exactly `rounds` synchronous local-move rounds: (id, community). */
-  def localMoveRounds(edges: DataFrame, rounds: Int): DataFrame = {
+  /** Exactly `rounds` synchronous local-move rounds over an unweighted
+    * symmetric edge table: (id, community). */
+  def localMoveRounds(edges: DataFrame, rounds: Int): DataFrame =
+    localMoveRoundsWeighted(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), rounds)
+
+  /** Weighted form — also the LEVEL-2 kernel over a coarsened community
+    * graph, whose self-loops (internal edge mass) count toward k and Σtot
+    * but are never move candidates (a self-loop follows its vertex into
+    * any community, so it is constant across candidates). */
+  def localMoveRoundsWeighted(edges: DataFrame, rounds: Int): DataFrame = {
+    // k(v) = Σ_u A_vu INCLUDING the self-loop; 2m = Σ k is then exactly
+    // the original graph's edge-endpoint mass after any coarsening
     val deg = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     val m2 = deg.agg(sum(col("k"))).first().getLong(0) // = 2m
 
@@ -46,11 +57,14 @@ object Louvain {
     for (round <- 1 to rounds) {
       val sigtot = state.join(deg, "id")
         .groupBy("c").agg(sum(col("k")).as("tot"))
-      // e(v→C): edges from v into community C (via dst's assignment)
+      // e(v→C): edge weight from v into community C (via dst's
+      // assignment); self-loops excluded — they are not edges to OTHER
+      // members of C
       val nbrE = edges
+        .filter(col("src") =!= col("dst"))
         .join(state.select(col("id").as("dst"), col("c").as("cand")), "dst")
         .groupBy(col("src").as("id"), col("cand"))
-        .agg(count(lit(1)).as("e"))
+        .agg(sum(col("w")).as("e"))
       // ensure v's OWN community is always a candidate (e may be 0)
       val cand = nbrE
         .unionAll(state.select(col("id"), col("c").as("cand"),
@@ -75,6 +89,32 @@ object Louvain {
         .localCheckpoint(true)
     }
     state.select(col("id"), col("c").as("community"))
+  }
+
+  /** Coarsen a weighted symmetric edge table by an assignment: one vertex
+    * per community, A'_{CD} = Σ A_{uv} over u∈C, v∈D — self-loops carry
+    * the internal mass. The Louvain "aggregation" phase as two hash joins
+    * and one grouped sum. */
+  def coarsen(edges: DataFrame, assign: DataFrame): DataFrame =
+    edges
+      .join(assign.select(col("id").as("src"), col("community").as("ca")),
+        "src")
+      .join(assign.select(col("id").as("dst"), col("community").as("cb")),
+        "dst")
+      .groupBy(col("ca").as("src"), col("cb").as("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /** Two Louvain levels — local move, aggregate, local move on the
+    * community graph, project back: (id, community). The full multi-level
+    * loop is this pair iterated; two levels exercise every phase. */
+  def twoLevel(edges: DataFrame, rounds1: Int, rounds2: Int): DataFrame = {
+    val w1 = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val l1 = localMoveRoundsWeighted(w1, rounds1).localCheckpoint(true)
+    val coarse = coarsen(w1, l1)
+    val l2 = localMoveRoundsWeighted(coarse, rounds2)
+    l1.join(l2.select(col("id").as("community"),
+        col("community").as("c2")), "community")
+      .select(col("id"), col("c2").as("community"))
   }
 
   /** Modularity Q of an assignment over a symmetric edge table, ×1e4 as

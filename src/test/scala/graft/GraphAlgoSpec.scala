@@ -79,6 +79,27 @@ class GraphAlgoSpec extends AnyFunSuite {
       .select(col("id"), col("community"))) == m)
   }
 
+  test("Louvain two-level: coarsening conserves 2m and the community " +
+      "graph pass matches/improves the flat result") {
+    import TestSpark.spark.implicits._
+    val cl = (for (base <- Seq(0L, 10L); a <- base until base + 5;
+      b <- (a + 1) until base + 5) yield (a, b)) :+ (4L, 10L)
+    val e = GraphOps.symmetrize(df(cl))
+    val w1 = e.select(col("src"), col("dst"), lit(1L).as("w"))
+    val l1 = Louvain.localMoveRounds(e, 2)
+    // aggregation conserves total edge mass (2m) — self-loops included
+    val coarse = Louvain.coarsen(w1, l1)
+    assert(coarse.agg(sum("w")).first().getLong(0) == e.count())
+    // two-level result separates the cliques like the flat run
+    val m = labelMap(Louvain.twoLevel(e, 2, 2)
+      .select(col("id"), col("community")))
+    assert((0L to 4L).map(m).toSet.size == 1)
+    assert((10L to 14L).map(m).toSet.size == 1)
+    assert(m(0L) != m(10L))
+    assert(Louvain.modularityI4(e, Louvain.twoLevel(e, 2, 2)) >=
+      Louvain.modularityI4(e, l1))
+  }
+
   test("LPA min-combine over directed edges matches oracle") {
     val engine = labelMap(LabelPropagation.runMin(web.adjacency, 4))
     val oracle = TestOracles.lpaMin(edgeArray, vertexIds, 4)
