@@ -52,16 +52,21 @@ object Louvain {
       .agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     val m2 = deg.agg(sum(col("k"))).first().getLong(0) // = 2m
+    // the O(E) side is joined on dst EVERY round — pre-partition and
+    // persist it once so only the O(V) state re-shuffles per round (the
+    // same exchange-reuse shape as the blocked-CSR kernels); self-loops
+    // are excluded here once: they are not edges to OTHER members of a
+    // community (their mass still rides `deg`)
+    val nonSelf = edges.filter(col("src") =!= col("dst"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var state = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
     for (round <- 1 to rounds) {
-      val sigtot = state.join(deg, "id")
-        .groupBy("c").agg(sum(col("k")).as("tot"))
-      // e(v→C): edge weight from v into community C (via dst's
-      // assignment); self-loops excluded — they are not edges to OTHER
-      // members of C
-      val nbrE = edges
-        .filter(col("src") =!= col("dst"))
+      val stdeg = state.join(deg, "id") // (id, c, k) — one O(V) join
+      val sigtot = stdeg.groupBy("c").agg(sum(col("k")).as("tot"))
+      // e(v→C): edge weight from v into community C (via dst's assignment)
+      val nbrE = nonSelf
         .join(state.select(col("id").as("dst"), col("c").as("cand")), "dst")
         .groupBy(col("src").as("id"), col("cand"))
         .agg(sum(col("w")).as("e"))
@@ -71,11 +76,11 @@ object Louvain {
           lit(0L).as("e")))
         .groupBy("id", "cand").agg(sum(col("e")).as("e"))
       val scored = cand
-        .join(state, "id")                       // c = current community
-        .join(deg, "id")                         // k = degree of v
-        .join(sigtot.withColumnRenamed("c", "cand"), "cand") // tot of cand
+        .join(stdeg, "id")                    // current community + degree
         .filter(if (round % 2 == 1) col("cand") <= col("c")
-          else col("cand") >= col("c"))       // alternating direction
+          else col("cand") >= col("c"))       // alternating direction —
+        // applied BEFORE the Σtot join so excluded candidates never join
+        .join(sigtot.withColumnRenamed("c", "cand"), "cand") // tot of cand
         .withColumn("score",
           lit(m2) * col("e") -
             col("k") * (col("tot") -
@@ -88,6 +93,7 @@ object Louvain {
         .select(col("id"), col("cand").as("c"))
         .localCheckpoint(true)
     }
+    nonSelf.unpersist()
     state.select(col("id"), col("c").as("community"))
   }
 
