@@ -172,6 +172,21 @@ object SparkEntry {
       graft.sources.TextFormats.writeNeo4j(TpchGraph.weightedEdges(s, d), path)
       graft.sources.TextFormats.readNeo4jEdges(s, path).orderBy("src", "dst")
     }),
+    // 1-indexed edge list (gr2edgelist1ind) and METIS (line-positional
+    // vertex adjacency) round trips
+    "graph_from_csv_1ind" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-csv1/" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.EdgeListCsv.write1Indexed(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.read1Indexed(s, path).orderBy("src", "dst")
+    }),
+    "graph_from_metis" -> ((s, d) => {
+      val path = s"/root/repo/target/graft-metis/d" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.sources.TextFormats
+        .writeMetis(GraphOps.symmetrize(TpchGraph.edges(s, d)), path)
+      graft.sources.TextFormats.readMetis(s, path).orderBy("src", "dst")
+    }),
     // positional token-stream converters: PBBS AdjacencyGraph round trip
     // and the svmlight bipartite example→feature ingest
     "graph_from_pbbs" -> ((s, d) => {
@@ -417,6 +432,8 @@ object SparkEntry {
     "graph_to_neo4j" -> Oracles.graphWeightedEdges,
     "graph_from_nodelist" -> Oracles.graphEdges,
     "graph_from_pbbs" -> Oracles.graphEdges,
+    "graph_from_csv_1ind" -> Oracles.graphEdges,
+    "graph_from_metis" -> Oracles.graphSymmetrize,
     "graph_from_svmlight" -> Oracles.graphSvmlight,
     "graph_from_adjlist" -> Oracles.graphEdges,
     "betweenness_4x6" -> Oracles.betweenness(4, 6),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Plain-text edge-list ingest/export — the reference's `edgelist2gr` and
@@ -19,6 +20,16 @@ object EdgeListCsv {
   /** edgelist2gr: ingest a headerless CSV edge list as (src, dst). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema("src LONG, dst LONG").csv(path)
+
+  /** gr2edgelist1ind (graph-convert.cpp:61): 1-INDEXED edge-list export. */
+  def write1Indexed(edges: DataFrame, path: String): Unit =
+    edges.select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"))
+      .write.mode("overwrite").option("header", "false").csv(path)
+
+  /** 1-indexed edge-list ingest (inverse of [[write1Indexed]]). */
+  def read1Indexed(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .select((col("src") - 1).as("src"), (col("dst") - 1).as("dst"))
 
   /** Weighted export: (src, dst, w) — the reference's edge-payload
     * edgelists (graph-convert edgelist conversions carry an optional

@@ -87,16 +87,55 @@ object TextFormats {
   }
 
   /** Global line numbers of a SINGLE positional text file (pbbs /
-    * svmlight are token-stream formats whose meaning is positional).
+    * svmlight / metis are token-stream or line-positional formats).
     * textFile partitions are ordered by byte offset and zipWithIndex
     * respects partition order, so the index is the file line number —
-    * the one honest use of an RDD here. */
-  private def numberedLines(spark: SparkSession, path: String): DataFrame = {
+    * the one honest use of an RDD here. `keepEmpty` matters for
+    * line-positional formats (metis: an isolated vertex IS an empty
+    * line). */
+  private def numberedLines(spark: SparkSession, path: String,
+      keepEmpty: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.textFile(path)
+    val df = spark.sparkContext.textFile(path)
       .zipWithIndex().map { case (l, i) => (i, l.trim) }
       .toDF("idx", "tok")
-      .filter(length(col("tok")) > 0)
+    if (keepEmpty) df else df.filter(length(col("tok")) > 0)
+  }
+
+  /** gr2metis (graph-convert.cpp:2669-2710): `n m` header (m counts each
+    * undirected edge once), then one line per vertex 0..n-1 — the vertex
+    * id is the LINE NUMBER — listing its 1-indexed neighbors; self-loops
+    * dropped. Input must be symmetric (like the reference's). */
+  def writeMetis(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nonSelf = edges.filter(col("src") =!= col("dst"))
+    val maxRow = nonSelf.agg(greatest(max(col("src")), max(col("dst"))))
+      .first()
+    val n = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
+    val m = nonSelf.count() / 2
+    val header = Seq((0L, s"$n $m")).toDF("ord", "value")
+    val rows = spark.range(n).select(col("id"))
+      .join(nonSelf.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst") + 1)).as("nbrs")),
+        Seq("id"), "left")
+      .select((col("id") + 1).as("ord"),
+        coalesce(array_join(col("nbrs"), " "), lit("")).as("value"))
+    header.unionAll(rows)
+      .repartition(1).sortWithinPartitions("ord")
+      .select("value").write.mode("overwrite").text(path)
+  }
+
+  /** METIS ingest: vertex = line number − 1; neighbors 1-indexed. Empty
+    * lines are isolated vertices (kept for the position count, emitting
+    * no edges). */
+  def readMetis(spark: SparkSession, path: String): DataFrame = {
+    val lines = numberedLines(spark, path, keepEmpty = true)
+      .localCheckpoint(true)
+    val parts = split(col("tok"), " ")
+    lines.filter(col("idx") >= 1 && length(col("tok")) > 0)
+      .select((col("idx") - 1).as("src"), explode(parts).as("t"))
+      .select(col("src"), (col("t").cast("long") - 1).as("dst"))
   }
 
   /** PBBS AdjacencyGraph export (inverse of pbbs2gr,

@@ -441,6 +441,21 @@ class GraphAlgoSpec extends AnyFunSuite {
       (2L, 3L, 4L)))
   }
 
+  test("metis and 1-indexed edgelist round-trips (isolated vertex = " +
+      "empty metis line)") {
+    // symmetric graph where vertex 2 is isolated (its metis line is empty)
+    val e = GraphOps.symmetrize(df(Seq((0L, 1L), (3L, 4L), (0L, 4L))))
+    graft.sources.TextFormats.writeMetis(e, "target/metis-spec")
+    assert(graft.sources.TextFormats.readMetis(spark, "target/metis-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val d1 = df(Seq((0L, 1L), (5L, 2L)))
+    graft.sources.EdgeListCsv.write1Indexed(d1, "target/csv1-spec")
+    assert(graft.sources.EdgeListCsv.read1Indexed(spark, "target/csv1-spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (5L, 2L)))
+  }
+
   test("nodelist and adjacency-list export/ingest round-trips") {
     val e = df(Seq((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L)))
     val expect = Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 0L))
