@@ -143,6 +143,15 @@ object GraphOps {
       .select("src", "dst")
   }
 
+  /** gr2randomweightgr (graph-convert.cpp:70): attach per-edge weights.
+    * The reference draws from a PRNG; this engine derives them
+    * DETERMINISTICALLY from the endpoints (plain integer polynomial, so
+    * runs are reproducible and the SQL oracle replicates them) — weights
+    * in [1, modulus]. */
+  def attachWeights(edges: DataFrame, modulus: Long = 97L): DataFrame =
+    edges.withColumn("w",
+      lit(1L) + pmod(col("src") * 7 + col("dst") * 13, lit(modulus)))
+
   /** Apply a relabel dictionary to an edge table (two broadcast-or-shuffle
     * hash joins, like the reference's offline re-id pass). */
   def applyRelabel(edges: DataFrame, dict: DataFrame): DataFrame = {

@@ -29,24 +29,18 @@ object TpchGraph {
     GraphOps.clean(raw)
   }
 
-  /** Deterministic edge weight in [1, 97] — plain integer arithmetic on
-    * the endpoint ids so the DuckDB oracle reproduces it exactly. Not
-    * symmetric under src/dst swap (directed surface); undirected weighted
-    * fixtures apply it to the (min, max)-oriented pair. */
-  def weightOf(src: org.apache.spark.sql.Column,
-      dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    lit(1L) + pmod(src * 7 + dst * 13, lit(97L))
-
-  /** Weighted directed fixture: [[edges]] + the deterministic weight. */
+  /** Weighted directed fixture: [[edges]] + GraphOps.attachWeights'
+    * deterministic [1, 97] weight (the gr2randomweightgr analog — not
+    * symmetric under src/dst swap; undirected fixtures apply it to the
+    * ordered pair). */
   def weightedEdges(spark: SparkSession, sfDir: String): DataFrame =
-    edges(spark, sfDir).withColumn("w", weightOf(col("src"), col("dst")))
+    GraphOps.attachWeights(edges(spark, sfDir))
 
   /** Weighted undirected fixture for MST: upper-oriented symmetrized
     * [[edges]] with the weight on the ordered pair (symmetric by
     * construction). */
   def weightedUndirected(spark: SparkSession, sfDir: String): DataFrame =
-    GraphOps.orientUpper(edges(spark, sfDir))
-      .withColumn("w", weightOf(col("src"), col("dst")))
+    GraphOps.attachWeights(GraphOps.orientUpper(edges(spark, sfDir)))
 
   /** The same derivation as ANSI SQL (DuckDB oracle side). */
   val edgesSql: String =

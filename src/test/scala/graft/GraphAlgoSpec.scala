@@ -393,6 +393,19 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted adjacency save/load round-trips blocks with ws arrays") {
+    import TestSpark.spark.implicits._
+    val we = Seq((1L, 2L, 4L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 10L))
+      .toDF("src", "dst", "w")
+    val adj = Adjacency.buildWeighted(we)
+    Adjacency.save(adj, "target/wadj-spec")
+    val back = Adjacency.load(spark, "target/wadj-spec")
+    val distA = labelMap(Sssp.weightedFixedRounds(adj, 1L, 4))
+    val distB = labelMap(Sssp.weightedFixedRounds(back, 1L, 4))
+    assert(distA == distB && distA.nonEmpty)
+    adj.unpersist(); back.unpersist()
+  }
+
   test("weighted round trips: csv, MatrixMarket real, DIMACS, neo4j") {
     import TestSpark.spark.implicits._
     val we = Seq((0L, 1L, 5L), (1L, 2L, 3L), (4L, 0L, 97L))
