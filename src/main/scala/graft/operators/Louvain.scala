@@ -123,6 +123,36 @@ object Louvain {
       .select(col("id"), col("c2").as("community"))
   }
 
+  /** Full multi-level loop: local-move, aggregate, repeat on the
+    * coarsened weighted graph until a level stops merging (community
+    * count == vertex count) or `maxLevels`; returns the original-vertex
+    * assignment (id, community). */
+  def cluster(edges: DataFrame, roundsPerLevel: Int = 4,
+      maxLevels: Int = 10): DataFrame = {
+    var cur = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    var mapping: DataFrame = null // cumulative id → community
+    var level = 0
+    var merging = true
+    while (merging && level < maxLevels) {
+      val l = localMoveRoundsWeighted(cur, roundsPerLevel)
+        .localCheckpoint(true)
+      mapping =
+        if (mapping == null) l
+        else mapping
+          .join(l.select(col("id").as("community"), col("community").as("c2")),
+            "community")
+          .select(col("id"), col("c2").as("community"))
+          .localCheckpoint(true)
+      val nVert = l.count()
+      val nComm = l.select(col("community")).distinct().count()
+      merging = nComm < nVert
+      if (merging) cur = coarsen(cur, l).localCheckpoint(true)
+      level += 1
+    }
+    mapping
+  }
+
   /** Modularity Q of an assignment over a symmetric edge table, ×1e4 as
     * int64 (for reporting/specs): Q = Σ_C [ in(C)/2m − (Σtot(C)/2m)² ]
     * with in(C) counting both directions of internal edges. */

@@ -100,6 +100,18 @@ class GraphAlgoSpec extends AnyFunSuite {
       Louvain.modularityI4(e, l1))
   }
 
+  test("Louvain full cluster() converges and matches the clique structure") {
+    val cl = (for (base <- Seq(0L, 10L, 20L); a <- base until base + 5;
+      b <- (a + 1) until base + 5) yield (a, b)) ++
+      Seq((4L, 10L), (14L, 20L))
+    val e = GraphOps.symmetrize(df(cl))
+    val m = labelMap(Louvain.cluster(e).select(col("id"), col("community")))
+    Seq(0L, 10L, 20L).foreach { base =>
+      assert((base to base + 4).map(m).toSet.size == 1, s"clique $base split")
+    }
+    assert(Set(m(0L), m(10L), m(20L)).size == 3)
+  }
+
   test("LPA min-combine over directed edges matches oracle") {
     val engine = labelMap(LabelPropagation.runMin(web.adjacency, 4))
     val oracle = TestOracles.lpaMin(edgeArray, vertexIds, 4)
