@@ -128,6 +128,50 @@ object PipelineOracles {
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
        |${jaccardVerifySql(thresholdI4)}""".stripMargin
 
+  /** Near-dup survivor groups: the MinHash-LSH verified pairs collapsed
+    * by k unrolled min-label rounds over the pair graph; every document
+    * gets (doc_id, keep_id = min doc of its component, itself when it
+    * has no near-dups). Mirrors Dedup.survivorsFixed over
+    * Dedup.minhashLshPairs. */
+  def dedupSurvivors(thresholdI4: Long = 5000, k: Int = 8): String = {
+    val rounds = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.id, LEAST(p.c, COALESCE(m.mc, p.c)) AS c
+         |  FROM s${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, MIN(s.c) AS mc
+         |    FROM sym e JOIN s${i - 1} s ON e.src = s.id
+         |    GROUP BY e.dst) m ON p.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleBase,
+       |shs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${strhashSql("s")} AS BIGINT) AS x
+       |  FROM (SELECT doc_id, UNNEST(sh) AS s FROM base) u),
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id, r.k, MIN(((2*r.k+3)*x + r.k*r.k+7) % 1000033) AS h
+       |  FROM shs CROSS JOIN range(0, 8) r(k) GROUP BY doc_id, r.k),
+       |bandk AS MATERIALIZED (
+       |  SELECT doc_id, k // 2 AS band,
+       |    MAX(CASE WHEN k % 2 = 0 THEN h END) * 1000033
+       |      + MAX(CASE WHEN k % 2 = 1 THEN h END) AS key
+       |  FROM mh GROUP BY doc_id, k // 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bandk x JOIN bandk y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |prs AS MATERIALIZED (
+       |  SELECT a, b FROM (${jaccardVerifySql(thresholdI4)}) jv),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM prs
+       |  UNION ALL SELECT b AS src, a AS dst FROM prs),
+       |s0 AS MATERIALIZED (
+       |  SELECT id, id AS c FROM (SELECT DISTINCT src AS id FROM sym) v),
+       |$rounds
+       |SELECT d.doc_id, COALESCE(s$k.c, d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN s$k ON d.doc_id = s$k.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val simhashCte: String =
     s"""tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
        |th AS MATERIALIZED (SELECT doc_id,

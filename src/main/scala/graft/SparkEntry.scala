@@ -331,6 +331,12 @@ object SparkEntry {
         threshold = 0.5).orderBy("a", "b")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), 3).orderBy("a", "b")),
+    // the dedup pipeline's actual OUTPUT: near-dup pairs collapsed into
+    // survivor groups (min-label components over the pair graph)
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.survivorsFixed(docs(s, d),
+        Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
+          threshold = 0.5), 8).orderBy("doc_id")),
 
     // training-data pipeline: similarity search. The quadratic
     // crossJoin near-dup (Dedup.embeddingNearDup) is TEST-ORACLE-ONLY:
@@ -461,6 +467,7 @@ object SparkEntry {
     "dedup_ngram" -> PipelineOracles.dedupNgram(5000),
     "dedup_minhash" -> PipelineOracles.dedupMinhash(5000),
     "dedup_simhash" -> PipelineOracles.dedupSimhash(3),
+    "dedup_survivors" -> PipelineOracles.dedupSurvivors(5000, 8),
     "emb_topk" -> PipelineOracles.embTopK(5, 10),
     "emb_lsh_neardup" -> PipelineOracles.embLshNearDup(3000, bits = 8),
     "ann_topk" -> PipelineOracles.embAnnTopK(5, 10, bits = 4, tables = 4),

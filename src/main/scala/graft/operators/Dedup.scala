@@ -173,6 +173,34 @@ object Dedup {
     jaccardCount(cand, inv, math.round(threshold * 10000))
   }
 
+  /** Collapse near-duplicate PAIRS into survivor groups — what a dedup
+    * pipeline actually emits: (doc_id, keep_id) for EVERY document,
+    * keep_id = the smallest doc id in its near-dup connected component
+    * (docs with no near-dups keep themselves). The pair graph rides the
+    * same min-label kernel as CC; exactly `k` rounds (near-dup
+    * components are short chains — k bounds their diameter) so the SQL
+    * oracle unrolls identically. */
+  def survivorsFixed(docs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var state = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val mins = sym.join(state, sym("src") === state("id"))
+        .select(sym("dst").as("id"), col("comp").as("msg"))
+        .groupBy("id").agg(min(col("msg")).as("msg"))
+      state = state.join(mins, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("msg"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+    }
+    docs.select(col("doc_id"))
+      .join(state.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("keep_id"))
+  }
+
   /** (doc_id, simhash) — 32-bit SimHash of widened token strhashes. */
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

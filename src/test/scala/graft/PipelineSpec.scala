@@ -73,6 +73,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.agg(max("n_docs")).first().getLong(0) == 1L)
   }
 
+  test("near-dup survivors: components of the pair graph, min id kept") {
+    import TestSpark.spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 9L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    // pair chain 1-2, 2-3 (one component) and 4-5; 9 isolated
+    val pairs = Seq((1L, 2L, 9000L), (2L, 3L, 9000L), (4L, 5L, 9000L))
+      .toDF("a", "b", "jacc_i4")
+    val got = Dedup.survivorsFixed(d, pairs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      9L -> 9L))
+  }
+
   test("brute-force cosine top-k matches JVM oracle") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
