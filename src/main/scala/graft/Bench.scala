@@ -157,9 +157,13 @@ object Bench {
     }
   }
 
-  /** One isolated throughput measurement: (edges, best edges/sec/iter). */
+  /** One isolated throughput measurement: (edges, best edges/sec/iter).
+    * The quiet gate waits for the 1-min load to drop below 3.5 (bounded):
+    * background co-tenant bursts slow an 8-thread run proportionally more
+    * than a 2-thread one, biasing the scaling RATIO downward — starting
+    * runs in observed-quiet windows attacks exactly that asymmetry. */
   private def prThroughput(threads: Int): (Long, Double) = {
-    settle(maxLoad = 6.0, maxWaitMs = 90000)
+    settle(maxLoad = 3.5, maxWaitMs = 150000)
     val out = child("graft.BenchWorker",
       Seq(threads.toString, AdjPath, ScaleIters.toString, Loops.toString))
     val line = out.linesIterator.find(_.startsWith("GRAFT_RESULT"))
@@ -185,8 +189,12 @@ object Bench {
     child("graft.BenchBuilder",
       Seq(AdjPath, scaleN.toString, scaleAvgOut.toString, cpus.toString))
     // fixed best-of-N per level, unconditionally — no score-conditioned
-    // retries (a one-sided stopping rule would bias the recorded number)
-    val MeasureRounds = 2
+    // retries (a one-sided stopping rule would bias the recorded number).
+    // N=4: this host's background tenants can halve any single run (1-min
+    // load swings 0.8→5+ between back-to-back benches); interference is
+    // strictly one-sided (it only slows), so unconditional best-of-N is
+    // the disclosed estimator of the undisturbed number.
+    val MeasureRounds = 4
     var scaleEdges = 0L
     def best(threads: Int): Double = (1 to MeasureRounds).map { _ =>
       val (e, eps) = prThroughput(threads)
@@ -209,12 +217,15 @@ object Bench {
       .map(_.stripPrefix("GRAFT_SUITE_TOTAL ").toDouble).getOrElse(-1.0)
 
     // 3. convergence evidence — in a fresh child JVM (r2 ran this in the
-    // suite-churned parent and recorded 3.3x under the engine's capability)
-    settle(maxLoad = 6.0, maxWaitMs = 90000)
-    val convOut = child("graft.BenchConverge",
-      Seq(convPages.toString, cpus.toString))
-    val convLine = convOut.linesIterator.find(_.startsWith("GRAFT_CONV"))
-      .getOrElse(sys.error(s"converge failed:\n${convOut.takeRight(2000)}"))
+    // suite-churned parent and recorded 3.3x under the engine's
+    // capability); same fixed best-of-2 discipline as the levels
+    val convLine = (1 to 2).map { _ =>
+      settle(maxLoad = 6.0, maxWaitMs = 90000)
+      val convOut = child("graft.BenchConverge",
+        Seq(convPages.toString, cpus.toString))
+      convOut.linesIterator.find(_.startsWith("GRAFT_CONV"))
+        .getOrElse(sys.error(s"converge failed:\n${convOut.takeRight(2000)}"))
+    }.minBy(_.split(" ")(4).toDouble) // fewest seconds
     val Array(_, convEdges, convIters, convConverged, convSecs, convEps) =
       convLine.split(" ")
 
