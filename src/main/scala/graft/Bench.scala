@@ -145,9 +145,16 @@ object Bench {
   }
 
   /** Wait (bounded) for the host 1-min load average to drop below
-    * `maxLoad` — the parent is idle, so load is other tenants. */
+    * `maxLoad` — the parent is idle, so load is other tenants. A GLOBAL
+    * wait budget caps the sum of all settle waits across the run, so a
+    * host that never quiets cannot stretch the bench unboundedly (the
+    * per-round artifact must land well inside any driver timeout). */
+  private val settleBudgetMs =
+    new java.util.concurrent.atomic.AtomicLong(8 * 60 * 1000L)
   private def settle(maxLoad: Double, maxWaitMs: Long): Unit = {
-    val deadline = System.currentTimeMillis() + maxWaitMs
+    val granted = math.min(maxWaitMs, math.max(0L, settleBudgetMs.get()))
+    val deadline = System.currentTimeMillis() + granted
+    val t0 = System.currentTimeMillis()
     var load = Double.MaxValue
     while (load > maxLoad && System.currentTimeMillis() < deadline) {
       load = scala.util.Try(
@@ -155,6 +162,7 @@ object Bench {
           .split(" ")(0).toDouble).getOrElse(0.0)
       if (load > maxLoad) Thread.sleep(5000)
     }
+    settleBudgetMs.addAndGet(-(System.currentTimeMillis() - t0))
   }
 
   /** One isolated throughput measurement: (edges, best edges/sec/iter).
