@@ -251,12 +251,21 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""pagerank_scaling":$pr,"sf":"$sfDir"}"""
-    // bare line on stdout (run/outputStrategy strips sbt prefixes) AND a
-    // file copy, so the driver can parse either way
+    // The driver records only a bounded TAIL of stdout: in r1 and r3 the
+    // full per-query line outgrew that window, its HEAD was cut off, and
+    // the artifact landed driver-unparseable (parsed:null). So print the
+    // full line first (and keep a file copy), then a ~700-byte COMPACT
+    // line LAST — scaling + convergence + suite total only — sized to
+    // survive any tail window; a last-line/tail parser always gets it.
     println(json)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":{"suite_total":$total},"pagerank_scaling":$pr,""" +
+        s""""sf":"$sfDir","full_queries":"target/bench_last.json"}"""
     val f = new java.io.File("/root/repo/target/bench_last.json")
     f.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(f)
     try w.println(json) finally w.close()
+    println(compact)
   }
 }

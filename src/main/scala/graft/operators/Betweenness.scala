@@ -59,7 +59,12 @@ object Betweenness {
     // level l, every edge v→w with dist(v)=l, dist(w)=l+1 contributes
     // (sigma_v / sigma_w) * (1 + delta_w) to delta_v.
     var delta = Seq.empty[(Long, Long, Double)].toDF("q", "id", "delta")
-    var acc = delta // accumulated deltas over all levels
+    // running bc accumulation, folded per level: an O(V) grouped sum kept
+    // checkpointed so the final stage reads ONE frame instead of
+    // re-chaining all L level frames (r3 unioned the levels and paid an
+    // O(L·V) final aggregate). Rows are unique per (q, id) across levels
+    // (each vertex has one dist per source), so folding = the same sum.
+    var bcAcc = Seq.empty[(Long, Double)].toDF("id", "bc")
     for (l <- (maxLevels - 1) to 0 by -1) {
       val vs = fwd.filter(col("dist") === l)
         .select(col("q"), col("id").as("v"), col("sigma").as("sv"))
@@ -80,14 +85,14 @@ object Betweenness {
         .agg(sum(col("c")).as("delta"))
         .localCheckpoint(true)
       delta = lvl
-      acc = if (l == maxLevels - 1) lvl else acc.unionAll(lvl)
+      bcAcc = bcAcc
+        .unionAll(lvl.filter(col("id") =!= col("q"))
+          .select(col("id"), col("delta").as("bc")))
+        .groupBy("id").agg(sum(col("bc")).as("bc"))
+        .localCheckpoint(true)
     }
-    // bc(v) = sum of deltas over sources, v != source
-    val bc = acc
-      .filter(col("id") =!= col("q"))
-      .groupBy("id").agg(sum(col("delta")).as("bc"))
     adj.vertices
-      .join(bc, Seq("id"), "left")
+      .join(bcAcc, Seq("id"), "left")
       .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
   }
 }

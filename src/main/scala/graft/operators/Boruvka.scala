@@ -99,6 +99,16 @@ object Boruvka {
       moved = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
       j += 1
     }
+    // Hook chains can be O(#components), not O(log): if the fixed bound
+    // was hit while pointers were still moving, the contraction is
+    // INCOMPLETE and a later round could admit a cycle edge. Surface it
+    // loudly instead of silently breaking the forest invariant —
+    // fixedRounds callers must size `jumps` to cover the longest chain.
+    if (moved > 0 && jumpRounds.nonEmpty) {
+      System.err.println(s"[graft] Boruvka: pointer-jump bound " +
+        s"${jumpRounds.get} hit with $moved pointers still moving — " +
+        "contraction incomplete; increase `jumps`")
+    }
     (picked, p)
   }
 

@@ -49,6 +49,18 @@ final case class ComponentsResult(components: DataFrame, iterations: Int,
  * components = original components, and the fixpoint label of a cluster
  * group is the min original vertex id. The contracted edge count is
  * logged to the metrics sink per the north rule.
+ *
+ * Contraction is GATED (r3 lesson: unconditional contraction was a
+ * measured 2.7x regression at driver scale): the pass costs two full
+ * O(E) label joins plus a distinct, and only pays when (a) the graph is
+ * big enough that the rounds it eliminates each scan a large block set —
+ * `contractMinEdges` floors that — and (b) the labels have mostly
+ * settled (`lastChanged <= settleFrac * V`), so most edges are already
+ * intra-cluster and the contracted edge set is small. Small graphs whose
+ * label propagation converges in a handful of rounds now skip the pass
+ * entirely and just run phase 1 to fixpoint; graphs that never settle
+ * below the fraction are force-contracted after 4x the settling budget
+ * (a huge-diameter graph is exactly where round-collapse helps most).
  */
 object ConnectedComponents {
 
@@ -63,7 +75,9 @@ object ConnectedComponents {
       checkpointEvery: Int = 20,
       store: Option[SnapshotStore] = None,
       resume: Boolean = false,
-      contractAfter: Int = 4): ComponentsResult = {
+      contractAfter: Int = 4,
+      contractMinEdges: Long = 5000000L,
+      settleFrac: Double = 0.05): ComponentsResult = {
 
     val metrics = ArrayBuffer.empty[IterMetric]
     val resumed = if (resume) store.flatMap(_.latest("cc")) else None
@@ -119,8 +133,19 @@ object ConnectedComponents {
         .select(explode(col("dsts")).as("id"), col("comp").as("msg"))
         .groupBy("id").agg(min(col("msg")).as("msg"))
 
+    // contraction eligibility, re-checked after every settling round:
+    // big enough to pay for the O(E) pass AND (mostly settled, so the
+    // cluster graph will be small, OR stuck past 4x the settling budget —
+    // the huge-diameter case where collapsing rounds is the whole point).
+    // lastChanged is only meaningful once a round has actually run.
+    def contractEligible: Boolean =
+      adj.numEdges >= contractMinEdges && lastChanged != Long.MaxValue &&
+        (lastChanged <= settleFrac * adj.numVertices ||
+          iter >= 4 * contractAfter)
+
     // ---- phase 1: settling rounds over the full blocked CSR ----
-    while (!converged && iter < maxIter && iter < contractAfter) {
+    while (!converged && iter < maxIter &&
+        (iter < contractAfter || !contractEligible)) {
       val t0 = System.nanoTime()
       var next = step(state, iter % 2 == 0, blockMins)
       iter += 1

@@ -144,9 +144,11 @@ object Louvain {
             "community")
           .select(col("id"), col("c2").as("community"))
           .localCheckpoint(true)
-      val nVert = l.count()
-      val nComm = l.select(col("community")).distinct().count()
-      merging = nComm < nVert
+      // one driver action per level: count + distinct-count in a single
+      // agg over the already-checkpointed assignment (r3 ran two jobs)
+      val r = l.agg(count(lit(1)).as("nv"),
+        countDistinct(col("community")).as("nc")).first()
+      merging = r.getLong(1) < r.getLong(0)
       if (merging) cur = coarsen(cur, l).localCheckpoint(true)
       level += 1
     }
@@ -165,10 +167,14 @@ object Louvain {
       .join(a.select(col("id").as("dst"), col("community").as("cb")), "dst")
       .filter(col("ca") === col("cb"))
       .count().toDouble
-    val tots = a.join(deg, "id").groupBy("community")
+    // Σ (tot/2m)² as one more agg — never collect the per-community
+    // array to the driver (O(communities) rows at scale)
+    val sumSq = a.join(deg, "id").groupBy("community")
       .agg(sum(col("k")).as("tot"))
-      .collect().map(_.getLong(1).toDouble)
-    val q = in / m2 - tots.map(t => (t / m2) * (t / m2)).sum
+      .agg(coalesce(sum((col("tot") / lit(m2)) * (col("tot") / lit(m2))),
+        lit(0.0)))
+      .first().getDouble(0)
+    val q = in / m2 - sumSq
     math.round(q * 10000)
   }
 }

@@ -24,11 +24,17 @@ object TextFormats {
     val maxRow = edges.agg(greatest(max(col("src")), max(col("dst")))).first()
     val n = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1
     val m = edges.count()
-    val header = Seq(s"p sp $n $m").toDF("value").coalesce(1)
-    val body = edges.select(
+    // explicit ordinal + single-partition sort (same pattern as
+    // writeMtxWeighted): coalesce(1) over a union does NOT guarantee the
+    // header partition lands first in the file, and external DIMACS
+    // consumers require the p-line before any arc line
+    val header = Seq((0L, s"p sp $n $m")).toDF("ord", "value")
+    val body = edges.select(lit(1L).as("ord"),
       concat_ws(" ", lit("a"), col("src") + 1, col("dst") + 1,
         col("w").cast("long")).as("value"))
-    header.unionAll(body).write.mode("overwrite").text(path)
+    header.unionAll(body)
+      .repartition(1).sortWithinPartitions("ord")
+      .select("value").write.mode("overwrite").text(path)
   }
 
   /** dimacs2gr (graph-convert.cpp:2123-2214): arc lines start with `a`,

@@ -38,7 +38,10 @@ class GraphAlgoSpec extends AnyFunSuite {
     val path = (0L until 59L).map(i => (i, i + 1))
     val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
     val adj = Adjacency.build(GraphOps.symmetrize(df(path ++ clique)))
-    val r = ConnectedComponents.run(adj, contractAfter = 4)
+    // floor/fraction forced open: the gate (contractMinEdges default 5M)
+    // exists precisely so graphs this small never contract in production
+    val r = ConnectedComponents.run(adj, contractAfter = 4,
+      contractMinEdges = 0L, settleFrac = 1.0)
     assert(r.converged)
     val got = r.components.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     (0L to 59L).foreach(v => assert(got(v) == 0L))

@@ -11,6 +11,7 @@ bad = 0; n = 0
 for name, sql in sorted(json.load(open(f'{out}/oracle_sql.json')).items()):
     if only and name not in only: continue
     n += 1
+    sdf = ddf = None
     try:
         sdf = pq.read_table(glob.glob(f'{out}/{name}/*.parquet')[0]).to_pandas()
         ddf = con.execute(sql).df()
@@ -19,6 +20,9 @@ for name, sql in sorted(json.load(open(f'{out}/oracle_sql.json')).items()):
              all((sdf[c].values==ddf[c].values).all() for c in sdf.columns)
     except Exception as e:
         ok = False; print('ERROR', name, repr(e)[:200])
-    if not ok: bad += 1; print('MISMATCH', name, len(sdf), len(ddf))
+    if not ok:
+        bad += 1
+        detail = f'{len(sdf)} {len(ddf)}' if sdf is not None and ddf is not None else ''
+        print('MISMATCH', name, detail)
     elif only: print(name, len(sdf), 'rows match')
 print('checked:', n, 'mismatches:', bad)
