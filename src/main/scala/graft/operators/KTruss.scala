@@ -14,15 +14,23 @@ import org.apache.spark.sql.functions._
  * as (lo, hi, fwd) with lo < hi by id and `fwd` recording the DEGREE
  * orientation (lower-(degree, id) endpoint first, like
  * [[Triangles.orientByDegree]] — hubs get small out-lists, which bounds
- * the per-key groups of the triangle self-joins, the skew concern at web
- * scale). The degree-oriented view used for triangle enumeration is a
- * projection of (lo, hi, fwd), so support counting and survivor
- * filtering are both plain equi-joins on (lo, hi): the survivor set and
- * the grouped support table share one hash partitioning that is STABLE
- * across rounds (r3 carried oriented (src, dst) and joined on
- * least/greatest expression keys, which re-shuffled both sides every
- * round — measured 1.8x slower at sf0.1). O(triangles) per round over a
- * shrinking edge set.
+ * the per-key groups of the triangle joins, the skew concern at web
+ * scale). All support/survivor joins are plain equi-joins on (lo, hi)
+ * over one stable hash partitioning (r3 joined on least/greatest
+ * expression keys, re-shuffling both sides every round).
+ *
+ * Support is maintained INCREMENTALLY (the standard truss-peeling
+ * shape, and the part that matters at 100 TB): the wedge-join triangle
+ * enumeration — whose cost is O(Σ outdeg²), dwarfing everything else —
+ * runs ONCE; each peel round then only (a) finds the triangles touching
+ * a just-dropped edge (three semi-joins against the small dropped set —
+ * broadcastable, and shrinking geometrically as peeling settles) and
+ * (b) subtracts their contributions from the persisted support table.
+ * Correctness: survivors(i) ⊂ survivors(i−1), so any triangle alive at
+ * round i−1 and not at i contains a dropped edge — subtracting one per
+ * dead triangle per member edge is exactly the recount (r3 re-ran the
+ * full enumeration every round and ktruss_4 was the suite's most
+ * expensive query).
  */
 object KTruss {
 
@@ -36,68 +44,103 @@ object KTruss {
       (col("src") < col("dst")).as("fwd"))
       .repartition(col("lo"), col("hi"))
 
-  /** The degree-oriented (src, dst) view of the canonical set. */
-  private def orientedView(o: DataFrame): DataFrame =
-    o.select(
+  /** Triangles (a, b, c) of the canonical set, in degree-oriented order:
+    * a→b, b→c, a→c all present. The wedge join — the one expensive pass. */
+  private def enumerate(o: DataFrame): DataFrame = {
+    val d = o.select(
       when(col("fwd"), col("lo")).otherwise(col("hi")).as("src"),
       when(col("fwd"), col("hi")).otherwise(col("lo")).as("dst"))
-
-  /** (lo, hi, sup): per surviving edge, its triangle support in the
-    * surviving subgraph. Triangle enumeration rides the degree-oriented
-    * view; each triangle explodes into its three canonical edges for one
-    * grouped count, so the output is hash-partitioned on (lo, hi). */
-  private def support(o: DataFrame): DataFrame = {
-    val d = orientedView(o)
     val e1 = d.select(col("src").as("a"), col("dst").as("b"))
     val e2 = d.select(col("src").as("b"), col("dst").as("c"))
     val e3 = d.select(col("src").as("a"), col("dst").as("c"))
-    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    def edgeKey(x: Column, y: Column) =
-      struct(least(x, y).as("lo"), greatest(x, y).as("hi"))
+    e1.join(e2, "b").join(e3, Seq("a", "c")).select("a", "b", "c")
+  }
+
+  private def edgeKey(x: Column, y: Column) =
+    struct(least(x, y).as("lo"), greatest(x, y).as("hi"))
+
+  /** Each triangle exploded into its three canonical member edges. */
+  private def triEdges(tri: DataFrame): DataFrame =
     tri.select(explode(array(
         edgeKey(col("a"), col("b")),
         edgeKey(col("b"), col("c")),
         edgeKey(col("a"), col("c")))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+
+  /** (lo, hi, sup > 0): initial per-edge triangle support. */
+  private def initialSupport(tri: DataFrame): DataFrame =
+    triEdges(tri).groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+
+  /** Triangles with at least one edge in `dead`, exactly once each.
+    * Three canonical-key semi-joins (one per edge position) — `dead` is
+    * the just-dropped set, small and checkpoint-stat'd, so the planner
+    * broadcasts it — then a distinct to de-duplicate triangles holding
+    * two or three dead edges. */
+  private def deadTriangles(tri: DataFrame, dead: DataFrame): DataFrame = {
+    def touches(x: String, y: String) = tri.join(dead,
+      least(col(x), col(y)) === dead("lo") &&
+        greatest(col(x), col(y)) === dead("hi"), "left_semi")
+    touches("a", "b").unionAll(touches("b", "c")).unionAll(touches("a", "c"))
+      .distinct()
   }
 
-  /** Keep the survivors whose support clears k−2. A LEFT join with
-    * coalesce(sup, 0) — not a semi-join against the filtered support set:
-    * [[support]] emits rows only for edges in ≥1 triangle, so a semi-join
-    * would drop zero-support edges even when k ≤ 2 (where sup ≥ k−2 holds
-    * at 0 and the 2-truss is the whole graph). Both sides are (lo, hi)
-    * keyed, so this is one co-partitioned equi-join. */
-  private def keepAlive(o: DataFrame, sup: DataFrame, k: Int): DataFrame =
-    o.join(sup, Seq("lo", "hi"), "left")
-      .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-      .select(col("lo"), col("hi"), col("fwd"))
+  private final case class State(o: DataFrame, tri: DataFrame,
+    sup: DataFrame, dropped: Long)
+
+  /** One peel round at truss number k. `needNext` skips the tri/sup
+    * maintenance on the final round (nothing will consume it). A LEFT
+    * join with coalesce(sup, 0) — not a semi-join against the filtered
+    * support set: support has rows only for edges in ≥1 triangle, so a
+    * semi-join would drop zero-support edges even when k ≤ 2 (where
+    * sup ≥ k−2 holds at 0 and the 2-truss is the whole graph). */
+  private def peel(s: State, k: Int, needNext: Boolean): State = {
+    val obs = org.apache.spark.sql.Observation()
+    val scored = s.o.join(s.sup, Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"), col("fwd"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+      .observe(obs, sum(when(col("sup") < k - 2, 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(true)
+    val dropped = obs.get.get("d") match { case Some(l: Long) => l; case _ => 0L }
+    val o2 = scored.filter(col("sup") >= k - 2).select("lo", "hi", "fwd")
+    if (!needNext || dropped == 0L) return State(o2, s.tri, s.sup, dropped)
+    val dead = scored.filter(col("sup") < k - 2).select("lo", "hi")
+      .localCheckpoint(true)
+    val dt = deadTriangles(s.tri, dead).localCheckpoint(true)
+    val delta = triEdges(dt).groupBy("lo", "hi").agg(count(lit(1)).as("dcnt"))
+    val sup2 = s.sup.join(delta, Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        (col("sup") - coalesce(col("dcnt"), lit(0L))).as("sup"))
+      .filter(col("sup") > 0)
+      .localCheckpoint(true)
+    val tri2 = s.tri.join(dt, Seq("a", "b", "c"), "left_anti")
+      .localCheckpoint(true)
+    State(o2, tri2, sup2, dropped)
+  }
+
+  private def init(edges: DataFrame): State = {
+    val o = canonical(Triangles.orientByDegree(edges)).localCheckpoint(true)
+    val tri = enumerate(o).localCheckpoint(true)
+    State(o, tri, initialSupport(tri).localCheckpoint(true), -1L)
+  }
 
   /** Exactly `rounds` support-peel rounds at truss number k (the
     * SQL-oracle kernel): surviving undirected edges as (src < dst). */
   def fixedRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var o = canonical(Triangles.orientByDegree(edges)).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      o = keepAlive(o, support(o), k).localCheckpoint(true)
-    }
-    o.select(col("lo").as("src"), col("hi").as("dst"))
+    var s = init(edges)
+    for (r <- 1 to rounds) s = peel(s, k, needNext = r < rounds)
+    s.o.select(col("lo").as("src"), col("hi").as("dst"))
   }
 
   /** Peel to fixpoint: (maximal k-truss edges as (src < dst), rounds). */
   def run(edges: DataFrame, k: Int, maxIter: Int = 1000): (DataFrame, Int) = {
-    var o = canonical(Triangles.orientByDegree(edges)).localCheckpoint(true)
-    var alive = o.count()
-    var prev = Long.MaxValue
+    var s = init(edges)
     var rounds = 0
-    while (alive != prev && alive > 0 && rounds < maxIter) {
-      prev = alive
-      val obs = org.apache.spark.sql.Observation(s"ktruss_$rounds")
-      o = keepAlive(o, support(o), k)
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      alive = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
+    var done = false
+    while (!done && rounds < maxIter) {
+      s = peel(s, k, needNext = true)
       rounds += 1
+      done = s.dropped == 0L
     }
-    (o.select(col("lo").as("src"), col("hi").as("dst")), rounds)
+    (s.o.select(col("lo").as("src"), col("hi").as("dst")), rounds)
   }
 }
