@@ -664,6 +664,48 @@ object Oracles {
        |JOIN o e2 ON e1.dst = e2.src
        |JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
 
+  /** k-clique count over the id-oriented undirected edge set. The count
+    * is orientation-invariant (a clique has exactly one topological
+    * order under ANY acyclic orientation), so the engine's degree
+    * orientation and this oracle's id orientation agree. Join cascade
+    * mirrors Mining.kcliques: one proposal join per new vertex plus the
+    * membership joins for all earlier members. */
+  def kclique(k: Int): String = {
+    def v(i: Int) =
+      if (i == 1) "p_1_2.src"
+      else if (i == 2) "p_1_2.dst"
+      else s"p_${i - 1}_$i.dst"
+    val joins = (3 to k).flatMap { i =>
+      s"JOIN o p_${i - 1}_$i ON p_${i - 1}_$i.src = ${v(i - 1)}" +:
+        (1 to i - 2).map { j =>
+          s"JOIN o p_${j}_$i ON p_${j}_$i.src = ${v(j)} " +
+            s"AND p_${j}_$i.dst = p_${i - 1}_$i.dst"
+        }
+    }.mkString("\n")
+    s"""WITH edges AS MATERIALIZED ($S),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS cliques
+       |FROM o p_1_2
+       |$joins""".stripMargin
+  }
+
+  /** 3-vertex connected-motif census: wedges = Σ d(d−1)//2 over
+    * undirected degrees (exact: the sum is even), triangles via the
+    * oriented two-join, open wedges = wedges − 3·triangles. */
+  val motif3: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM edges GROUP BY src),
+       |w AS (SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) AS BIGINT) // 2
+       |        AS wedges FROM deg),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+       |      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+       |SELECT w.wedges, t.triangles,
+       |       CAST(w.wedges - 3 * t.triangles AS BIGINT) AS open_wedges
+       |FROM w, t""".stripMargin
+
   val trianglesPerVertex: String =
     s"""WITH edges AS MATERIALIZED ($S),
        |v AS MATERIALIZED (${verts("edges")}),

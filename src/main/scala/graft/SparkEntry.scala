@@ -311,6 +311,17 @@ object SparkEntry {
     }),
     "tri_per_vertex" -> ((s, d) =>
       Triangles.perVertex(TpchGraph.edges(s, d)).orderBy("id")),
+    // §2.6 mining: k-clique listing counts (kcl.cpp) and the 3-vertex
+    // connected-motif census (motif.cpp) over the oriented edge set
+    "kclique_4" -> ((s, d) => {
+      import s.implicits._
+      Seq(Mining.kcliqueCount(TpchGraph.edges(s, d), 4)).toDF("cliques")
+    }),
+    "kclique_5" -> ((s, d) => {
+      import s.implicits._
+      Seq(Mining.kcliqueCount(TpchGraph.edges(s, d), 5)).toDF("cliques")
+    }),
+    "motif_3" -> ((s, d) => Mining.motif3(TpchGraph.edges(s, d))),
 
     // training-data pipeline: text analysis
     "text_tokens" -> ((s, d) =>
@@ -462,6 +473,9 @@ object SparkEntry {
     "lpa_mode2" -> Oracles.lpaMode(2),
     "triangles" -> Oracles.triangles,
     "tri_per_vertex" -> Oracles.trianglesPerVertex,
+    "kclique_4" -> Oracles.kclique(4),
+    "kclique_5" -> Oracles.kclique(5),
+    "motif_3" -> Oracles.motif3,
     "text_tokens" -> PipelineOracles.textTokens,
     "text_quality" -> PipelineOracles.textQuality,
     "text_langid" -> PipelineOracles.textLangId,

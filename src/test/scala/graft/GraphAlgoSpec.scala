@@ -266,6 +266,28 @@ class GraphAlgoSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
   }
 
+  test("k-clique counts: complete graph closed forms and triangle " +
+      "cross-check") {
+    // K5 ∪ path 10-11-12: cliques live only in the K5 block
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = df(k5 ++ Seq((10L, 11L), (11L, 12L)))
+    assert(Mining.kcliqueCount(g, 2) == 12)  // 10 K5 edges + 2 path edges
+    assert(Mining.kcliqueCount(g, 3) == 10)  // C(5,3)
+    assert(Mining.kcliqueCount(g, 4) == 5)   // C(5,4)
+    assert(Mining.kcliqueCount(g, 5) == 1)
+    assert(Mining.kcliqueCount(g, 6) == 0)
+    // k=3 must equal triangle counting on the fixture web graph
+    assert(Mining.kcliqueCount(web.edges, 3) == Triangles.count(web.edges))
+  }
+
+  test("3-motif census: closed forms on K5 and a path") {
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r1 = Mining.motif3(df(k5)).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((30L, 10L, 0L)))
+    val r2 = Mining.motif3(df(Seq((0L, 1L), (1L, 2L), (2L, 3L)))).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((2L, 0L, 2L)))
+  }
+
   test("k-truss peel matches a per-edge triangle-support oracle") {
     // two triangles sharing edge (2,3) + a pendant edge: the 3-truss is
     // the two triangles; the 4-truss is empty (no edge has support 2
