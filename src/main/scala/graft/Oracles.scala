@@ -448,13 +448,16 @@ object Oracles {
   /** `rounds` unrolled deterministic greedy-matching rounds over the
     * upper-oriented graph; edge priority = (hash, src, dst) with the same
     * polynomial as the engine. */
-  def matching(rounds: Int): String = {
+  /** The unrolled matching-round CTEs (w$i winners, mv$i matched
+    * vertices, r$i remaining) over an `r0` canonical edge CTE; shared by
+    * [[matching]] and [[bipart]]. */
+  private def matchingIters(rounds: Int, p: String = ""): String = {
     def h(s: String, d: String) =
       s"((($s % 1000003) * 1000033 + ($d % 1000003)) % 4294967296)"
-    val iters = (1 to rounds).map { i =>
-      s"""w$i AS MATERIALIZED (
-         |  SELECT e.src, e.dst FROM r${i - 1} e WHERE NOT EXISTS (
-         |    SELECT 1 FROM r${i - 1} o
+    (1 to rounds).map { i =>
+      s"""${p}w$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM ${p}r${i - 1} e WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${p}r${i - 1} o
          |    WHERE (o.src = e.src OR o.src = e.dst
          |        OR o.dst = e.src OR o.dst = e.dst)
          |      AND NOT (o.src = e.src AND o.dst = e.dst)
@@ -462,20 +465,98 @@ object Oracles {
          |        OR (${h("o.src", "o.dst")} = ${h("e.src", "e.dst")}
          |          AND (o.src < e.src
          |            OR (o.src = e.src AND o.dst < e.dst)))))),
-         |mv$i AS MATERIALIZED (
-         |  SELECT src AS id FROM w$i UNION SELECT dst AS id FROM w$i),
-         |r$i AS MATERIALIZED (
-         |  SELECT src, dst FROM r${i - 1}
-         |  WHERE src NOT IN (SELECT id FROM mv$i)
-         |    AND dst NOT IN (SELECT id FROM mv$i))""".stripMargin
+         |${p}mv$i AS MATERIALIZED (
+         |  SELECT src AS id FROM ${p}w$i
+         |  UNION SELECT dst AS id FROM ${p}w$i),
+         |${p}r$i AS MATERIALIZED (
+         |  SELECT src, dst FROM ${p}r${i - 1}
+         |  WHERE src NOT IN (SELECT id FROM ${p}mv$i)
+         |    AND dst NOT IN (SELECT id FROM ${p}mv$i))""".stripMargin
     }.mkString(",\n")
-    val all = (1 to rounds).map(i => s"SELECT src, dst FROM w$i")
+  }
+
+  private def matchedUnion(rounds: Int, p: String = ""): String =
+    (1 to rounds).map(i => s"SELECT src, dst FROM ${p}w$i")
       .mkString("\n  UNION ALL ")
+
+  def matching(rounds: Int): String =
     s"""WITH sym AS MATERIALIZED ($S),
        |r0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),
-       |$iters
+       |${matchingIters(rounds)}
        |SELECT src, dst FROM (
-       |  $all) m ORDER BY src, dst""".stripMargin
+       |  ${matchedUnion(rounds)}) m ORDER BY src, dst""".stripMargin
+
+  /** Multilevel bisection (mirrors graft.operators.Bipart.bisect with
+    * coarsenLevels = 1): matching-based contraction, id-ordered balanced
+    * prefix split of the coarse level, projection, then `refineRounds`
+    * alternating-direction gain refinement rounds at the fine level
+    * (fine vertex weights are all 1, so weight sums are counts). */
+  def bipart(matchRounds: Int, refineRounds: Int): String = {
+    val refine = (1 to refineRounds).map { r =>
+      val srcP = if (r % 2 == 1) 0 else 1
+      val tgtP = 1 - srcP
+      s"""g$r AS MATERIALIZED (
+         |  SELECT e.src AS id, ps.part,
+         |    CAST(SUM(CASE WHEN pd.part <> ps.part THEN e.w ELSE -e.w END)
+         |      AS BIGINT) AS gain
+         |  FROM eS e
+         |  JOIN p${r - 1} ps ON e.src = ps.id
+         |  JOIN p${r - 1} pd ON e.dst = pd.id
+         |  GROUP BY e.src, ps.part),
+         |t$r AS (SELECT
+         |  CAST(SUM(CASE WHEN part = $srcP THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ws,
+         |  CAST(SUM(CASE WHEN part = $tgtP THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wt0,
+         |  CAST(COUNT(*) AS BIGINT) AS w FROM p${r - 1}),
+         |a$r AS MATERIALIZED (
+         |  SELECT id, gain FROM g$r WHERE part = $srcP AND gain > 0),
+         |i$r AS MATERIALIZED (
+         |  SELECT c.id, c.gain FROM a$r c WHERE NOT EXISTS (
+         |    SELECT 1 FROM eS e JOIN a$r o ON e.dst = o.id
+         |    WHERE e.src = c.id AND (o.gain > c.gain
+         |      OR (o.gain = c.gain AND o.id < c.id)))),
+         |c$r AS MATERIALIZED (
+         |  SELECT id, SUM(1) OVER (ORDER BY gain DESC, id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM i$r),
+         |m$r AS MATERIALIZED (
+         |  SELECT c.id FROM c$r c, t$r t
+         |  WHERE c.cum <= (CASE WHEN t.ws - t.wt0 + t.w // 10 < 0 THEN 0
+         |    ELSE (t.ws - t.wt0 + t.w // 10) // 2 END)),
+         |p$r AS MATERIALIZED (
+         |  SELECT p.id,
+         |    CASE WHEN m.id IS NOT NULL THEN CAST($tgtP AS BIGINT)
+         |      ELSE p.part END AS part
+         |  FROM p${r - 1} p LEFT JOIN m$r m ON p.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sym AS MATERIALIZED ($S),
+       |r0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),
+       |${matchingIters(matchRounds)},
+       |matched AS MATERIALIZED (SELECT src, dst FROM (
+       |  ${matchedUnion(matchRounds)}) m),
+       |vsf AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM r0 UNION ALL SELECT dst AS id FROM r0) u),
+       |mapd AS MATERIALIZED (
+       |  SELECT v.id, COALESCE(m.src, v.id) AS rep
+       |  FROM vsf v LEFT JOIN matched m ON v.id = m.dst),
+       |vwc AS MATERIALIZED (
+       |  SELECT rep AS id, CAST(COUNT(*) AS BIGINT) AS wt
+       |  FROM mapd GROUP BY rep),
+       |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vwc),
+       |p0c AS MATERIALIZED (
+       |  SELECT id, CASE WHEN 2 * SUM(wt) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      <= (SELECT t FROM tot)
+       |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS part
+       |  FROM vwc),
+       |p0 AS MATERIALIZED (
+       |  SELECT m.id, p.part FROM mapd m JOIN p0c p ON m.rep = p.id),
+       |eS AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+       |$refine
+       |SELECT id, CAST(part AS BIGINT) AS part
+       |FROM p$refineRounds ORDER BY id""".stripMargin
   }
 
   /** `rounds` unrolled k-truss support peels over the upper-oriented
@@ -656,6 +737,53 @@ object Oracles {
        |SELECT a.id, b.c AS community
        |FROM a$r1 a JOIN b$r2 b ON a.c = b.id ORDER BY a.id""".stripMargin
 
+  /** Leiden one level (leidenClustering.cpp refinement on top of the
+    * louvain local-move): r1 move rounds → singleton-restart refinement
+    * over INTRA-community edges only, full-graph degrees/2m, rf rounds.
+    * Same unrolled round body as louvain — only the candidate edge set
+    * and the starting assignment differ. */
+  def leidenRefine(r1: Int, rf: Int): String =
+    s"""WITH $louvainBase,
+       |${louvainLevel("a", "e1", "deg1", r1)},
+       |intra AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w FROM e1 e
+       |  JOIN a$r1 x ON e.src = x.id
+       |  JOIN a$r1 y ON e.dst = y.id
+       |  WHERE x.c = y.c),
+       |r0 AS MATERIALIZED (SELECT id, id AS c FROM deg1),
+       |${louvainLevel("r", "intra", "deg1", rf)}
+       |SELECT id, c AS community FROM r$rf ORDER BY id""".stripMargin
+
+  /** Two Leiden levels: move r1 + refine rf, aggregate on the REFINED
+    * partition, seed the coarse local-move with each sub-community's
+    * parent community (leidenClustering.cpp:238 initial partition), r2
+    * rounds there, project back. */
+  def leidenTwoLevel(r1: Int, rf: Int, r2: Int): String =
+    s"""WITH $louvainBase,
+       |${louvainLevel("a", "e1", "deg1", r1)},
+       |intra AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w FROM e1 e
+       |  JOIN a$r1 x ON e.src = x.id
+       |  JOIN a$r1 y ON e.dst = y.id
+       |  WHERE x.c = y.c),
+       |r0 AS MATERIALIZED (SELECT id, id AS c FROM deg1),
+       |${louvainLevel("r", "intra", "deg1", rf)},
+       |coarse AS MATERIALIZED (
+       |  SELECT x.c AS src, y.c AS dst, CAST(SUM(e.w) AS BIGINT) AS w
+       |  FROM e1 e
+       |  JOIN r$rf x ON e.src = x.id
+       |  JOIN r$rf y ON e.dst = y.id
+       |  GROUP BY x.c, y.c),
+       |deg2 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k
+       |  FROM coarse GROUP BY src),
+       |b0 AS MATERIALIZED (
+       |  SELECT r.c AS id, MIN(a.c) AS c
+       |  FROM r$rf r JOIN a$r1 a ON r.id = a.id GROUP BY r.c),
+       |${louvainLevel("b", "coarse", "deg2", r2)}
+       |SELECT s.id, b.c AS community
+       |FROM r$rf s JOIN b$r2 b ON s.c = b.id ORDER BY s.id""".stripMargin
+
   val triangles: String =
     s"""WITH edges AS MATERIALIZED ($S),
        |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)
@@ -720,4 +848,318 @@ object Oracles {
        |         UNION ALL SELECT c AS id FROM tr) u GROUP BY id)
        |SELECT v.id, CAST(COALESCE(cr.cnt, 0) AS BIGINT) AS triangles
        |FROM v LEFT JOIN cr ON v.id = cr.id ORDER BY v.id""".stripMargin
+
+  /** One k-way level (mirrors graft.operators.Bipart.splitLevel): every
+    * part of the input assignment `pin` bisected simultaneously — intra-
+    * part edges, matching contraction, per-part (PARTITION BY grp)
+    * prefix split, projection, grouped independent-set refinement. */
+  private def kwayLevel(p: String, pin: String, matchRounds: Int,
+      refineRounds: Int): String = {
+    val refine = (1 to refineRounds).map { r =>
+      val side = if (r % 2 == 1) 0 else 1
+      val tgt = 1 - side
+      s"""${p}g$r AS MATERIALIZED (
+         |  SELECT e.src AS id, ps.part,
+         |    CAST(SUM(CASE WHEN pd.part <> ps.part THEN e.w ELSE -e.w END)
+         |      AS BIGINT) AS gain
+         |  FROM ${p}eS e
+         |  JOIN ${p}q${r - 1} ps ON e.src = ps.id
+         |  JOIN ${p}q${r - 1} pd ON e.dst = pd.id
+         |  GROUP BY e.src, ps.part),
+         |${p}t$r AS MATERIALIZED (
+         |  SELECT grp, ws, wt0, w,
+         |    CASE WHEN ws - wt0 + w // 10 < 0 THEN 0
+         |      ELSE (ws - wt0 + w // 10) // 2 END AS slack
+         |  FROM (
+         |    SELECT CAST(q.part // 2 AS BIGINT) AS grp,
+         |      CAST(SUM(CASE WHEN q.part % 2 = $side THEN v.wt ELSE 0 END)
+         |        AS BIGINT) AS ws,
+         |      CAST(SUM(CASE WHEN q.part % 2 = $tgt THEN v.wt ELSE 0 END)
+         |        AS BIGINT) AS wt0,
+         |      CAST(SUM(v.wt) AS BIGINT) AS w
+         |    FROM ${p}q${r - 1} q JOIN vwf v ON q.id = v.id
+         |    GROUP BY q.part // 2) z),
+         |${p}a$r AS MATERIALIZED (
+         |  SELECT g.id, g.gain, v.wt,
+         |    CAST(g.part // 2 AS BIGINT) AS grp
+         |  FROM ${p}g$r g JOIN vwf v ON g.id = v.id
+         |  WHERE g.part % 2 = $side AND g.gain > 0),
+         |${p}i$r AS MATERIALIZED (
+         |  SELECT c.id, c.gain, c.wt, c.grp FROM ${p}a$r c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${p}eS e JOIN ${p}a$r o ON e.dst = o.id
+         |    WHERE e.src = c.id AND o.grp = c.grp AND (o.gain > c.gain
+         |      OR (o.gain = c.gain AND o.id < c.id)))),
+         |${p}c$r AS MATERIALIZED (
+         |  SELECT id, grp, SUM(wt) OVER (PARTITION BY grp
+         |    ORDER BY gain DESC, id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ${p}i$r),
+         |${p}m$r AS MATERIALIZED (
+         |  SELECT c.id FROM ${p}c$r c JOIN ${p}t$r t ON c.grp = t.grp
+         |  WHERE c.cum <= t.slack),
+         |${p}q$r AS MATERIALIZED (
+         |  SELECT q.id,
+         |    CAST(CASE WHEN m.id IS NOT NULL
+         |      THEN (q.part // 2) * 2 + $tgt ELSE q.part END AS BIGINT)
+         |      AS part
+         |  FROM ${p}q${r - 1} q
+         |  LEFT JOIN ${p}m$r m ON q.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}pe AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, x.part AS grp
+       |  FROM ce e JOIN $pin x ON e.src = x.id
+       |  JOIN $pin y ON e.dst = y.id
+       |  WHERE x.part = y.part),
+       |${p}r0 AS MATERIALIZED (SELECT src, dst FROM ${p}pe),
+       |${matchingIters(matchRounds, p)},
+       |${p}matched AS MATERIALIZED (SELECT src, dst FROM (
+       |  ${matchedUnion(matchRounds, p)}) m),
+       |${p}map AS MATERIALIZED (
+       |  SELECT v.id, COALESCE(m.src, v.id) AS rep, v.part AS grp
+       |  FROM $pin v LEFT JOIN ${p}matched m ON v.id = m.dst),
+       |${p}vwc AS MATERIALIZED (
+       |  SELECT m.rep AS id, m.grp, CAST(SUM(v.wt) AS BIGINT) AS wt
+       |  FROM ${p}map m JOIN vwf v ON m.id = v.id GROUP BY m.rep, m.grp),
+       |${p}tot AS (SELECT grp, CAST(SUM(wt) AS BIGINT) AS tot
+       |  FROM ${p}vwc GROUP BY grp),
+       |${p}p0c AS MATERIALIZED (
+       |  SELECT c.id AS rep, c.grp,
+       |    CAST(c.grp * 2 + CASE WHEN 2 * SUM(c.wt) OVER (
+       |        PARTITION BY c.grp ORDER BY c.id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        <= t.tot THEN 0 ELSE 1 END AS BIGINT) AS part
+       |  FROM ${p}vwc c JOIN ${p}tot t ON c.grp = t.grp),
+       |${p}q0 AS MATERIALIZED (
+       |  SELECT m.id, p.part
+       |  FROM ${p}map m JOIN ${p}p0c p
+       |    ON m.rep = p.rep AND m.grp = p.grp),
+       |${p}eS AS MATERIALIZED (
+       |  SELECT src, dst, w FROM ${p}pe
+       |  UNION ALL SELECT dst AS src, src AS dst, w FROM ${p}pe),
+       |$refine""".stripMargin
+  }
+
+  /** 2^depth-way simultaneous recursive bisection (mirrors
+    * graft.operators.Bipart.kway). */
+  def kway(depth: Int, matchRounds: Int, refineRounds: Int): String = {
+    val levels = (1 to depth).map { l =>
+      val pin = if (l == 1) "P0" else s"k${l - 1}q$refineRounds"
+      kwayLevel(s"k$l", pin, matchRounds, refineRounds)
+    }.mkString(",\n")
+    s"""WITH sym AS MATERIALIZED ($S),
+       |ce AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym
+       |  WHERE src < dst),
+       |vsf AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM ce UNION ALL SELECT dst AS id FROM ce) u),
+       |vwf AS MATERIALIZED (
+       |  SELECT id, CAST(1 AS BIGINT) AS wt FROM vsf),
+       |P0 AS MATERIALIZED (
+       |  SELECT id, CAST(0 AS BIGINT) AS part FROM vsf),
+       |$levels
+       |SELECT id, part FROM k${depth}q$refineRounds ORDER BY id"""
+      .stripMargin
+  }
+
+  /** Lock-step preflow-push (mirrors
+    * graft.operators.PreflowPush.fixedRounds over the weighted directed
+    * fixture; s = min vertex, t = max vertex in s's mod-8 class): per
+    * round a push phase (per-vertex prefix-sum allotment over admissible
+    * arcs) then a relabel phase on the post-push residual graph.
+    * Output: per-vertex (id, ex, h). */
+  def preflow(rounds: Int): String = {
+    val sS = "(SELECT s FROM st)"
+    val tS = "(SELECT t FROM tt)"
+    val iters = (1 to rounds).map { r =>
+      s"""pu$r AS MATERIALIZED (
+         |  SELECT u, v,
+         |    CAST(LEAST(res, ex - (cum - res)) AS BIGINT) AS p FROM (
+         |    SELECT a.u, a.v, a.res, e.ex,
+         |      SUM(a.res) OVER (PARTITION BY a.u ORDER BY a.v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM a${r - 1} a
+         |    JOIN ex${r - 1} e ON a.u = e.id
+         |    JOIN h${r - 1} hu ON a.u = hu.id
+         |    JOIN h${r - 1} hv ON a.v = hv.id
+         |    WHERE a.res > 0 AND e.ex > 0 AND a.u <> $sS AND a.u <> $tS
+         |      AND hu.h = hv.h + 1) z
+         |  WHERE ex - (cum - res) > 0),
+         |a$r AS MATERIALIZED (
+         |  SELECT a.u, a.v,
+         |    CAST(a.res - COALESCE(pf.p, 0) + COALESCE(pr.p, 0)
+         |      AS BIGINT) AS res
+         |  FROM a${r - 1} a
+         |  LEFT JOIN pu$r pf ON a.u = pf.u AND a.v = pf.v
+         |  LEFT JOIN pu$r pr ON a.u = pr.v AND a.v = pr.u),
+         |ex$r AS MATERIALIZED (
+         |  SELECT e.id,
+         |    CAST(e.ex - COALESCE(po.sp, 0) + COALESCE(pi.sp, 0)
+         |      AS BIGINT) AS ex
+         |  FROM ex${r - 1} e
+         |  LEFT JOIN (SELECT u, CAST(SUM(p) AS BIGINT) AS sp
+         |    FROM pu$r GROUP BY u) po ON e.id = po.u
+         |  LEFT JOIN (SELECT v, CAST(SUM(p) AS BIGINT) AS sp
+         |    FROM pu$r GROUP BY v) pi ON e.id = pi.v),
+         |h$r AS MATERIALIZED (
+         |  SELECT h.id,
+         |    CAST(CASE WHEN e.ex > 0 AND h.id <> $sS AND h.id <> $tS
+         |        AND adm.u IS NULL
+         |      THEN COALESCE(mn.m + 1, h.h) ELSE h.h END AS BIGINT) AS h
+         |  FROM h${r - 1} h
+         |  JOIN ex$r e ON h.id = e.id
+         |  LEFT JOIN (SELECT DISTINCT a.u FROM a$r a
+         |    JOIN h${r - 1} h1 ON a.u = h1.id
+         |    JOIN h${r - 1} h2 ON a.v = h2.id
+         |    WHERE a.res > 0 AND h1.h = h2.h + 1) adm ON h.id = adm.u
+         |  LEFT JOIN (SELECT a.u, MIN(h2.h) AS m FROM a$r a
+         |    JOIN h${r - 1} h2 ON a.v = h2.id WHERE a.res > 0
+         |    GROUP BY a.u) mn ON h.id = mn.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wedges AS MATERIALIZED (${TpchGraph.weightedEdgesSql}),
+       |arcs00 AS MATERIALIZED (
+       |  SELECT u, v, CAST(SUM(c) AS BIGINT) AS res FROM (
+       |    SELECT src AS u, dst AS v, w AS c FROM wedges
+       |    UNION ALL SELECT dst AS u, src AS v, 0 AS c FROM wedges) z
+       |  GROUP BY u, v),
+       |vs AS MATERIALIZED (SELECT DISTINCT u AS id FROM arcs00),
+       |st AS (SELECT MIN(id) AS s FROM vs),
+       |tt AS (SELECT MAX(id) AS t FROM vs
+       |  WHERE id % 8 = (SELECT s FROM st) % 8),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vs),
+       |sarc AS MATERIALIZED (
+       |  SELECT v, res FROM arcs00 WHERE u = $sS AND res > 0),
+       |a0 AS MATERIALIZED (
+       |  SELECT a.u, a.v,
+       |    CAST(a.res - CASE WHEN a.u = $sS THEN a.res ELSE 0 END
+       |      + CASE WHEN a.v = $sS THEN COALESCE(sa.res, 0) ELSE 0 END
+       |      AS BIGINT) AS res
+       |  FROM arcs00 a LEFT JOIN sarc sa ON a.u = sa.v),
+       |ex0 AS MATERIALIZED (
+       |  SELECT v.id, CAST(CASE WHEN v.id = $sS THEN 0
+       |    ELSE COALESCE(sa.res, 0) END AS BIGINT) AS ex
+       |  FROM vs v LEFT JOIN sarc sa ON v.id = sa.v),
+       |h0 AS MATERIALIZED (
+       |  SELECT v.id, CAST(CASE WHEN v.id = $sS THEN (SELECT n FROM nn)
+       |    ELSE 0 END AS BIGINT) AS h
+       |  FROM vs v),
+       |$iters
+       |SELECT e.id, e.ex, h.h
+       |FROM ex$rounds e JOIN h$rounds h ON e.id = h.id
+       |ORDER BY e.id""".stripMargin
+  }
+
+  /** Andersen points-to, `rounds` unrolled semi-naive rounds (mirrors
+    * graft.operators.PointsTo.fixedRounds over the
+    * TpchGraph.ptaConstraints fixture): copy-edge growth from load/store
+    * constraints, then one propagation step, both deduped by UNION.
+    * Output: per-variable pts-set sizes. */
+  def ptaSizes(rounds: Int): String = {
+    val iters = (1 to rounds).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT src, dst FROM c${t - 1}
+         |  UNION
+         |  SELECT pp.obj AS src, l.p AS dst
+         |  FROM ld l JOIN p${t - 1} pp ON l.q = pp.vr
+         |  UNION
+         |  SELECT s.q AS src, pp.obj AS dst
+         |  FROM st s JOIN p${t - 1} pp ON s.p = pp.vr),
+         |p$t AS MATERIALIZED (
+         |  SELECT vr, obj FROM p${t - 1}
+         |  UNION
+         |  SELECT c.dst AS vr, pp.obj
+         |  FROM c$t c JOIN p${t - 1} pp ON c.src = pp.vr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($E),
+       |vs AS (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM edges
+       |  UNION ALL SELECT dst AS id FROM edges) u),
+       |p0 AS MATERIALIZED (
+       |  SELECT id AS vr, id + 1000000 AS obj FROM vs WHERE id % 3 = 0),
+       |c0 AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE (src + dst) % 4 = 0),
+       |ld AS MATERIALIZED (
+       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 4 = 1),
+       |st AS MATERIALIZED (
+       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 4 = 2),
+       |$iters
+       |SELECT vr AS id, CAST(COUNT(*) AS BIGINT) AS npts
+       |FROM p$rounds GROUP BY vr ORDER BY id""".stripMargin
+  }
+
+  // ---- matrix completion (matrixCompletion.cpp, alternating full-batch
+  // fixed-point gradient rounds — mirrors
+  // graft.operators.MatrixCompletion, S = 128, lr = 1/8, D = 4) ----
+
+  private def mcInitCte(p: String, idCol: String, a: Int, b: Int): String = {
+    val fs = (0 until 4).map(k =>
+      s"CAST((((id * $a + ${k * b}) % 9) - 4) * 16 AS BIGINT) AS f$k")
+      .mkString(", ")
+    s"""${p}0 AS MATERIALIZED (
+       |  SELECT id, $fs
+       |  FROM (SELECT DISTINCT $idCol AS id FROM ratings))""".stripMargin
+  }
+
+  /** The unrolled WITH body: ratings, u0/v0 init, and e1..e(rounds+1)
+    * error frames with the alternating factor updates between them.
+    * Returns (body, finalUserCte). */
+  private def mcBody(rounds: Int): (String, String) = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"ratings AS MATERIALIZED (${TpchGraph.ratingsSql})",
+      mcInitCte("u", "u", 31, 17),
+      mcInitCte("v", "i", 37, 23))
+    var cu = "u0"
+    var cv = "v0"
+    for (t <- 1 to rounds + 1) {
+      val dot = (0 until 4).map(k => s"u.f$k * v.f$k").mkString(" + ")
+      val ufs = (0 until 4).map(k => s"u.f$k AS uf$k").mkString(", ")
+      val vfs = (0 until 4).map(k => s"v.f$k AS vf$k").mkString(", ")
+      parts += s"""e$t AS MATERIALIZED (
+        |  SELECT r.u, r.i, $ufs, $vfs,
+        |    r.r * 128 - CAST(FLOOR(CAST($dot AS DOUBLE) / 128.0) AS BIGINT)
+        |      AS err
+        |  FROM ratings r JOIN $cu u ON r.u = u.id
+        |  JOIN $cv v ON r.i = v.id)""".stripMargin
+      if (t <= rounds) {
+        val (side, tgt, other) =
+          if (t % 2 == 1) ("u", "u", "vf") else ("i", "v", "uf")
+        val upd = (0 until 4).map(k =>
+          s"""CAST(s.f$k + FLOOR(CAST(g.g$k AS DOUBLE)
+             | / (1024.0 * g.deg)) AS BIGINT) AS f$k""".stripMargin
+            .replace("\n", "")).mkString(",\n    ")
+        val sums = (0 until 4).map(k =>
+          s"SUM(err * $other$k) AS g$k").mkString(", ")
+        val cur = if (t % 2 == 1) cu else cv
+        parts += s"""$tgt$t AS MATERIALIZED (
+          |  SELECT s.id,
+          |    $upd
+          |  FROM $cur s JOIN (
+          |    SELECT e.$side AS id, COUNT(*) AS deg, $sums
+          |    FROM e$t e GROUP BY e.$side) g ON s.id = g.id)""".stripMargin
+        if (t % 2 == 1) cu = s"u$t" else cv = s"v$t"
+      }
+    }
+    (parts.mkString(",\n"), cu)
+  }
+
+  /** User factors after `rounds` alternating rounds: (u, f0..f3). */
+  def mcUserFactors(rounds: Int): String = {
+    val (body, cu) = mcBody(rounds)
+    s"""WITH $body
+       |SELECT id AS u, f0, f1, f2, f3 FROM $cu ORDER BY u""".stripMargin
+  }
+
+  /** Convergence trace: (round, sse) with sse the S²-scaled squared
+    * error BEFORE each round, plus the final state. */
+  def mcSseTrace(rounds: Int): String = {
+    val (body, _) = mcBody(rounds)
+    val rows = (1 to rounds + 1).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS round,
+         | (SELECT CAST(SUM(err * err) AS BIGINT) FROM e$t) AS sse"""
+        .stripMargin.replace("\n", ""))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $body
+       |SELECT * FROM (
+       |  $rows) t ORDER BY round""".stripMargin
+  }
 }

@@ -297,6 +297,16 @@ object SparkEntry {
     "louvain_2level" -> ((s, d) =>
       Louvain.twoLevel(
         GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2).orderBy("id")),
+    // Leiden (leidenClustering.cpp): local-move + singleton-restart
+    // refinement constrained to intra-community edges, and — in the
+    // 2-level form — aggregation on the REFINED partition seeded from
+    // the parent communities
+    "leiden_2x2" -> ((s, d) =>
+      Leiden.oneLevel(
+        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2).orderBy("id")),
+    "leiden_2level" -> ((s, d) =>
+      Leiden.twoLevel(
+        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2, 2).orderBy("id")),
 
     // §2.4 label propagation (directed, fixed rounds)
     "lpa_min4" -> ((s, d) =>
@@ -322,6 +332,43 @@ object SparkEntry {
       Seq(Mining.kcliqueCount(TpchGraph.edges(s, d), 5)).toDF("cliques")
     }),
     "motif_3" -> ((s, d) => Mining.motif3(TpchGraph.edges(s, d))),
+    // §2.6 matrix completion (matrixCompletion.cpp): alternating
+    // full-batch fixed-point gradient rounds over the bipartite
+    // customer×part ratings table — factors + the SSE convergence trace
+    "mc_sgd3_users" -> ((s, d) =>
+      MatrixCompletion.userFactors(TpchGraph.ratings(s, d), 3).orderBy("u")),
+    "mc_sgd3_sse" -> ((s, d) =>
+      MatrixCompletion.sseTrace(TpchGraph.ratings(s, d), 3)),
+    // §2.6 max-flow (Preflowpush.cpp) as lock-step push-relabel
+    // supersteps; s = min vertex, t = max vertex of s's mod-8 class
+    "preflow_8" -> ((s, d) => {
+      val we = TpchGraph.weightedEdges(s, d).select(col("src").as("u"),
+        col("dst").as("v"), col("w").as("cap"))
+      val vs = we.select(col("u").as("id"))
+        .unionAll(we.select(col("v").as("id"))).distinct()
+      val sMin = vs.agg(min("id")).first().getLong(0)
+      val tMax = vs.filter(col("id") % 8 === sMin % 8)
+        .agg(max("id")).first().getLong(0)
+      PreflowPush.fixedRounds(we, sMin, tMax, 8).orderBy("id")
+    }),
+    // §2.6 Andersen points-to (PointsTo.cpp) as semi-naive Datalog
+    // rounds over the constraint split of the edge table
+    // §2.6 deterministic multilevel bisection (bipart/ + gmetis/):
+    // matching-contraction coarsening, balanced prefix split, projected
+    // gain refinement
+    "bipart_2" -> ((s, d) =>
+      Bipart.bisect(TpchGraph.edges(s, d), coarsenLevels = 1,
+        matchRounds = 2, refineRounds = 2).orderBy("id")),
+    // GMetis k-way analog: simultaneous recursive bisection, every part
+    // split at once with per-part windows/slacks
+    "kway_4" -> ((s, d) =>
+      Bipart.kway(TpchGraph.edges(s, d), depth = 2,
+        matchRounds = 2, refineRounds = 2).orderBy("id")),
+    "pta_sizes6" -> ((s, d) => {
+      val (a, c, l, st) = TpchGraph.ptaConstraints(s, d)
+      PointsTo.sizes(PointsTo.fixedRounds(a, c, l, st, 6))
+        .withColumnRenamed("var", "id").orderBy("id")
+    }),
 
     // training-data pipeline: text analysis
     "text_tokens" -> ((s, d) =>
@@ -469,6 +516,14 @@ object SparkEntry {
     "cc_sizes" -> Oracles.ccSizes(20),
     "louvain_3" -> Oracles.louvain(3),
     "louvain_2level" -> Oracles.louvainTwoLevel(2, 2),
+    "leiden_2x2" -> Oracles.leidenRefine(2, 2),
+    "leiden_2level" -> Oracles.leidenTwoLevel(2, 2, 2),
+    "mc_sgd3_users" -> Oracles.mcUserFactors(3),
+    "mc_sgd3_sse" -> Oracles.mcSseTrace(3),
+    "pta_sizes6" -> Oracles.ptaSizes(6),
+    "bipart_2" -> Oracles.bipart(2, 2),
+    "kway_4" -> Oracles.kway(2, 2, 2),
+    "preflow_8" -> Oracles.preflow(8),
     "lpa_min4" -> Oracles.lpaMin(4),
     "lpa_mode2" -> Oracles.lpaMode(2),
     "triangles" -> Oracles.triangles,

@@ -45,7 +45,19 @@ object Louvain {
     * graph, whose self-loops (internal edge mass) count toward k and Σtot
     * but are never move candidates (a self-loop follows its vertex into
     * any community, so it is constant across candidates). */
-  def localMoveRoundsWeighted(edges: DataFrame, rounds: Int): DataFrame = {
+  def localMoveRoundsWeighted(edges: DataFrame, rounds: Int): DataFrame =
+    moveRounds(edges, edges, rounds, null)
+
+  /** General constrained local-move core. Degrees k(v) and 2m always come
+    * from `edges` (the full graph — Leiden's refinement scores sub-
+    * community moves against full-graph modularity, leidenClustering.cpp
+    * `findNeighboringSubComms`); move CANDIDATES are proposed only
+    * through `nbrEdges` (⊆ edges — the intra-community subset during
+    * refinement, the whole graph otherwise); `init` is the starting
+    * assignment (id, c), null → singletons (Leiden seeds the coarsened
+    * level with the PARENT communities instead). */
+  private[operators] def moveRounds(edges: DataFrame, nbrEdges: DataFrame,
+      rounds: Int, init: DataFrame): DataFrame = {
     // k(v) = Σ_u A_vu INCLUDING the self-loop; 2m = Σ k is then exactly
     // the original graph's edge-endpoint mass after any coarsening
     val deg = edges.groupBy(col("src").as("id"))
@@ -57,11 +69,13 @@ object Louvain {
     // same exchange-reuse shape as the blocked-CSR kernels); self-loops
     // are excluded here once: they are not edges to OTHER members of a
     // community (their mass still rides `deg`)
-    val nonSelf = edges.filter(col("src") =!= col("dst"))
+    val nonSelf = nbrEdges.filter(col("src") =!= col("dst"))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var state = deg.select(col("id"), col("id").as("c")).localCheckpoint(true)
+    var state =
+      (if (init == null) deg.select(col("id"), col("id").as("c"))
+       else init.select(col("id"), col("c"))).localCheckpoint(true)
     for (round <- 1 to rounds) {
       val stdeg = state.join(deg, "id") // (id, c, k) — one O(V) join
       val sigtot = stdeg.groupBy("c").agg(sum(col("k")).as("tot"))

@@ -42,6 +42,47 @@ object TpchGraph {
   def weightedUndirected(spark: SparkSession, sfDir: String): DataFrame =
     GraphOps.attachWeights(GraphOps.orientUpper(edges(spark, sfDir)))
 
+  /** Bipartite ratings fixture for matrix completion: customer × part
+    * with a deterministic 1-5 rating from the order quantity
+    * (matrixCompletion.cpp loads exactly this shape as a bipartite .gr:
+    * users = one side, items = the other, edge data = rating). */
+  def ratings(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(min(col("l_quantity").cast("long") % 5 + 1).as("r"))
+  }
+
+  /** [[ratings]] as SQL. */
+  val ratingsSql: String =
+    """SELECT o.o_custkey AS u, l.l_partkey AS i,
+      |       CAST(MIN(CAST(l.l_quantity AS BIGINT) % 5 + 1) AS BIGINT) AS r
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_custkey, l.l_partkey""".stripMargin
+
+  /** Points-to constraint fixture (PointsTo.cpp readConstraints): the
+    * directed edge table split by (src+dst)%4 into Copy / Load / Store
+    * constraints, with AddressOf seeds o_v = v + 1,000,000 for every
+    * third vertex — deterministic and reproducible in SQL.
+    * Returns (addressOf(var,obj), copies(src,dst), loads(q,p),
+    * stores(q,p)). */
+  def ptaConstraints(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = edges(spark, sfDir).localCheckpoint(true)
+    val vs = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val addressOf = vs.filter(col("id") % 3 === 0)
+      .select(col("id").as("var"), (col("id") + 1000000L).as("obj"))
+    val copies = e.filter((col("src") + col("dst")) % 4 === 0)
+      .select(col("src"), col("dst"))
+    val loads = e.filter((col("src") + col("dst")) % 4 === 1)
+      .select(col("src").as("q"), col("dst").as("p"))
+    val stores = e.filter((col("src") + col("dst")) % 4 === 2)
+      .select(col("src").as("q"), col("dst").as("p"))
+    (addressOf, copies, loads, stores)
+  }
+
   /** The same derivation as ANSI SQL (DuckDB oracle side). */
   val edgesSql: String =
     """SELECT DISTINCT src, dst FROM (

@@ -115,6 +115,178 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(Set(m(0L), m(10L), m(20L)).size == 3)
   }
 
+  test("Leiden refinement: strict refinement of the parent partition, " +
+      "modularity above singletons, disconnected communities split") {
+    import TestSpark.spark.implicits._
+    // two cliques with NO bridge, all vertices forced into one community:
+    // the pathological badly-merged community refinement exists to split
+    val cl = for (base <- Seq(0L, 10L); a <- base until base + 5;
+      b <- (a + 1) until base + 5) yield (a, b)
+    val e = GraphOps.symmetrize(df(cl))
+    val allOne = (0L to 4L).map(v => (v, 0L)) ++ (10L to 14L).map(v => (v, 0L))
+    val refined = labelMap(Leiden.refine(
+      e, allOne.toDF("id", "community"), 4).select("id", "community"))
+    // split: each clique one sub-community, never merged across
+    assert((0L to 4L).map(refined).toSet.size == 1)
+    assert((10L to 14L).map(refined).toSet.size == 1)
+    assert(refined(0L) != refined(10L))
+    // strict-refinement invariant on the web fixture: every refined
+    // sub-community lies inside exactly one louvain community
+    val sym = GraphOps.symmetrize(web.edges)
+    val comm = Louvain.localMoveRounds(sym, 2)
+    val sub = Leiden.refine(sym, comm, 2)
+    val parents = sub.withColumnRenamed("community", "sub")
+      .join(comm, "id")
+      .groupBy("sub").agg(countDistinct("community").as("np"))
+      .agg(max("np")).first().getLong(0)
+    assert(parents == 1L, "a sub-community crossed a parent community")
+    // refinement (greedy merges from singletons) beats the singleton Q
+    val singletons = vertexIds.toSeq.map(v => (v, v)).toDF("id", "community")
+    assert(Louvain.modularityI4(sym, sub) >=
+      Louvain.modularityI4(sym, singletons))
+  }
+
+  test("Leiden two-level and full cluster(): clique structure, " +
+      "determinism, parent-seeded coarse level") {
+    val cl = (for (base <- Seq(0L, 10L, 20L); a <- base until base + 5;
+      b <- (a + 1) until base + 5) yield (a, b)) ++
+      Seq((4L, 10L), (14L, 20L))
+    val e = GraphOps.symmetrize(df(cl))
+    val two = labelMap(Leiden.twoLevel(e, 2, 2, 2)
+      .select(col("id"), col("community")))
+    Seq(0L, 10L, 20L).foreach { base =>
+      assert((base to base + 4).map(two).toSet.size == 1,
+        s"clique $base split")
+    }
+    val m = labelMap(Leiden.cluster(e).select(col("id"), col("community")))
+    Seq(0L, 10L, 20L).foreach { base =>
+      assert((base to base + 4).map(m).toSet.size == 1, s"clique $base split")
+    }
+    assert(Set(m(0L), m(10L), m(20L)).size == 3)
+    // deterministic across reruns
+    assert(labelMap(Leiden.cluster(e)
+      .select(col("id"), col("community"))) == m)
+  }
+
+  test("Bipart bisection: balanced two-way split, refinement does not " +
+      "worsen the cut, deterministic") {
+    val canon = GraphOps.orientUpper(web.edges)
+      .select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint(true)
+    val parts = Bipart.bisect(web.edges, coarsenLevels = 2,
+      matchRounds = 2, refineRounds = 2).localCheckpoint(true)
+    val m = labelMap(parts)
+    // covers every edge-covered vertex (isolated vertices never enter an
+    // edge-table partitioner), both sides populated
+    val covered = edgeArray.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(m.keySet == covered)
+    val sizes = m.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L))
+    // balance within the 10% tolerance band (plus one matched-pair grain)
+    val n = covered.size
+    assert(math.abs(sizes(0L) - sizes(1L)) <= n / 10 + 2,
+      s"imbalanced: $sizes")
+    // refinement from the projected split must not worsen the cut
+    val vw = GraphOps.vertices(canon).distinct()
+      .select(col("id"), lit(1L).as("wt"))
+    val sym = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    val base = Bipart.initialSplit(vw)
+    val refined = Bipart.refine(sym, vw, base, 2)
+    assert(Bipart.cutWeight(canon, refined) <=
+      Bipart.cutWeight(canon, base))
+    // deterministic across reruns
+    assert(labelMap(Bipart.bisect(web.edges, coarsenLevels = 2,
+      matchRounds = 2, refineRounds = 2)) == m)
+  }
+
+  test("Bipart k-way: 4 balanced parts, strict refinement of the " +
+      "2-way structure, deterministic") {
+    val parts = Bipart.kway(web.edges, depth = 2).localCheckpoint(true)
+    val m = labelMap(parts)
+    val covered = edgeArray.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(m.keySet == covered)
+    val sizes = m.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L), s"parts: ${sizes.keySet}")
+    // each pair (0,1) and (2,3) splits one level-1 side: per-pair balance
+    // within tolerance, and global 4-way spread is sane
+    val n = covered.size
+    assert(math.abs(sizes(0L) - sizes(1L)) <= n / 8 + 2, s"pair0: $sizes")
+    assert(math.abs(sizes(2L) - sizes(3L)) <= n / 8 + 2, s"pair1: $sizes")
+    // bit-append labeling: part/2 of the 4-way equals the 2-way side
+    // computed by the same first level
+    assert(labelMap(Bipart.kway(web.edges, depth = 1)) ==
+      m.view.mapValues(_ / 2).toMap)
+    // deterministic
+    assert(labelMap(Bipart.kway(web.edges, depth = 2)) == m)
+  }
+
+  test("Preflow-push: lock-step supersteps reach the Edmonds-Karp max " +
+      "flow on a known network and on a fixture subgraph") {
+    import TestSpark.spark.implicits._
+    // classic CLRS-style network, max flow 23
+    val net = Seq((0L, 1L, 16L), (0L, 2L, 13L), (1L, 2L, 10L),
+      (2L, 1L, 4L), (1L, 3L, 12L), (3L, 2L, 9L), (2L, 4L, 14L),
+      (4L, 3L, 7L), (3L, 5L, 20L), (4L, 5L, 4L))
+    assert(TestOracles.maxFlowEk(net, 0L, 5L) == 23L)
+    assert(PreflowPush.maxFlow(net.toDF("u", "v", "cap"), 0L, 5L) == 23L)
+    // deterministic capacities over a fixture subgraph, engine == oracle
+    val sub = edgeArray.take(60).map { case (a, b) =>
+      (a, b, 1L + (a * 7 + b * 13) % 9)
+    }
+    val ids = sub.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val (s, t) = (ids.head, ids.last)
+    assert(PreflowPush.maxFlow(sub.toSeq.toDF("u", "v", "cap"), s, t) ==
+      TestOracles.maxFlowEk(sub.toSeq, s, t))
+  }
+
+  test("Points-to: BSP semi-naive rounds match the sequential Andersen " +
+      "fixpoint") {
+    import TestSpark.spark.implicits._
+    // same %-split rules as TpchGraph.ptaConstraints, over fixture edges
+    val es = edgeArray.take(300)
+    val vs = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val ao = vs.filter(_ % 3 == 0).map(v => (v, v + 1000000L)).toSeq
+    val cp = es.filter { case (a, b) => (a + b) % 4 == 0 }.toSeq
+    val ld = es.filter { case (a, b) => (a + b) % 4 == 1 }.toSeq
+    val st = es.filter { case (a, b) => (a + b) % 4 == 2 }.toSeq
+    val oracle = TestOracles.andersen(ao, cp, ld, st)
+    def toMapSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = toMapSet(PointsTo.solve(ao.toDF("var", "obj"),
+      cp.toDF("src", "dst"), ld.toDF("q", "p"), st.toDF("q", "p"))
+      .collect())
+    assert(got == oracle)
+    // a generous fixed-round unroll reaches the same least model — the
+    // oracle-SQL shape and the converged engine agree
+    val fr = toMapSet(PointsTo.fixedRounds(ao.toDF("var", "obj"),
+      cp.toDF("src", "dst"), ld.toDF("q", "p"), st.toDF("q", "p"), 20)
+      .collect())
+    assert(fr == oracle)
+  }
+
+  test("Matrix completion: alternating fixed-point rounds reduce SSE " +
+      "and stay deterministic") {
+    import TestSpark.spark.implicits._
+    // near-rank-1 bipartite ratings with holes
+    val ratings = (for (u <- 1L to 20L; i <- 101L to 112L
+      if (u + i) % 3 != 0) yield (u, i, (u * i) % 5 + 1)).toDF("u", "i", "r")
+    val (uf, vf, sse) = MatrixCompletion.run(ratings, 4)
+    assert(sse.size == 5)
+    // full-batch averaged gradient with lr=1/8: the trace must come down
+    assert(sse.last < sse.head,
+      s"SSE did not decrease: $sse")
+    // fixed-point magnitudes stay bounded (the int64-overflow headroom
+    // argument in the scaladoc)
+    val maxAbs = uf.unionByName(vf).agg(max(greatest(
+      abs(col("f0")), abs(col("f1")), abs(col("f2")), abs(col("f3")))))
+      .first().getLong(0)
+    assert(maxAbs < 4096L, s"factors blew up: $maxAbs")
+    // deterministic across reruns
+    val (_, _, sse2) = MatrixCompletion.run(ratings, 4)
+    assert(sse == sse2)
+  }
+
   test("LPA min-combine over directed edges matches oracle") {
     val engine = labelMap(LabelPropagation.runMin(web.adjacency, 4))
     val oracle = TestOracles.lpaMin(edgeArray, vertexIds, 4)

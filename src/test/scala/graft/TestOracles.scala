@@ -99,6 +99,71 @@ object TestOracles {
     lab
   }
 
+  /** Sequential Andersen points-to fixpoint (PointsTo.cpp semantics):
+    * addressOf (var,obj) seeds, copy (src,dst) edges meaning
+    * pts(dst) ⊇ pts(src), loads (q,p) = "p = *q", stores (q,p) =
+    * "*p = q". Chaotic iteration to the least model. */
+  def andersen(addressOf: Seq[(Long, Long)], copies: Seq[(Long, Long)],
+      loads: Seq[(Long, Long)], stores: Seq[(Long, Long)])
+      : Map[Long, Set[Long]] = {
+    var pts = addressOf.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    var copy = copies.toSet
+    var changed = true
+    while (changed) {
+      val nc = copy ++
+        loads.flatMap { case (q, p) => pts(q).map(o => (o, p)) } ++
+        stores.flatMap { case (q, p) => pts(p).map(o => (q, o)) }
+      var np = pts
+      nc.foreach { case (a, b) =>
+        val add = np(a) -- np(b)
+        if (add.nonEmpty) np = np.updated(b, np(b) ++ add)
+      }
+      changed = np != pts || nc != copy
+      pts = np; copy = nc
+    }
+    pts.filter(_._2.nonEmpty)
+  }
+
+  /** Edmonds-Karp max flow (BFS augmenting paths) over directed
+    * (u, v, cap) edges — the algorithm-independent flow value the
+    * preflow-push engine must converge to. */
+  def maxFlowEk(edges: Seq[(Long, Long, Long)], s: Long, t: Long): Long = {
+    val cap = mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    val adj = mutable.Map.empty[Long, mutable.LinkedHashSet[Long]]
+    def nb(u: Long) = adj.getOrElseUpdate(u, mutable.LinkedHashSet.empty)
+    edges.foreach { case (u, v, c) =>
+      cap((u, v)) += c; nb(u) += v; nb(v) += u
+    }
+    var flow = 0L
+    var found = true
+    while (found) {
+      val prev = mutable.Map.empty[Long, Long]
+      val q = mutable.Queue(s)
+      prev(s) = s
+      while (q.nonEmpty && !prev.contains(t)) {
+        val u = q.dequeue()
+        nb(u).foreach { v =>
+          if (!prev.contains(v) && cap((u, v)) > 0) {
+            prev(v) = u; q.enqueue(v)
+          }
+        }
+      }
+      found = prev.contains(t)
+      if (found) {
+        var b = Long.MaxValue
+        var v = t
+        while (v != s) { b = math.min(b, cap((prev(v), v))); v = prev(v) }
+        v = t
+        while (v != s) {
+          cap((prev(v), v)) -= b; cap((v, prev(v))) += b; v = prev(v)
+        }
+        flow += b
+      }
+    }
+    flow
+  }
+
   /** Brute-force triangle count on the symmetrized simple graph. */
   def triangles(edges: Array[(Long, Long)]): Long = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
