@@ -74,7 +74,10 @@ object BenchSuite {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // progress to stderr so a stalled query is visible mid-run
+      System.err.println(f"GRAFT_SUITE_Q $name $secs%.1f")
+      name -> secs
     }
     spark.stop()
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

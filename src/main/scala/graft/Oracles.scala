@@ -849,6 +849,53 @@ object Oracles {
        |SELECT v.id, CAST(COALESCE(cr.cnt, 0) AS BIGINT) AS triangles
        |FROM v LEFT JOIN cr ON v.id = cr.id ORDER BY v.id""".stripMargin
 
+  /** FSM single-edge patterns with exact MNI support (mirrors
+    * graft.operators.Mining.fsmEdge; labels = id % 4). */
+  def fsmEdge(minsup: Long): String =
+    s"""WITH sym AS MATERIALIZED ($S),
+       |d AS MATERIALIZED (
+       |  SELECT src % 4 AS ls, dst % 4 AS ld,
+       |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n
+       |  FROM sym GROUP BY src % 4, dst % 4)
+       |SELECT x.ls AS l1, x.ld AS l2,
+       |  CAST(LEAST(x.n, y.n) AS BIGINT) AS support
+       |FROM d x JOIN d y ON x.ls = y.ld AND x.ld = y.ls
+       |WHERE x.ls <= x.ld AND LEAST(x.n, y.n) >= $minsup
+       |ORDER BY l1, l2""".stripMargin
+
+  /** FSM wedge patterns with exact MNI support — domains computed with
+    * O(E) grouped aggregates, never enumerating embeddings (mirrors
+    * graft.operators.Mining.fsmWedge). */
+  def fsmWedge(minsup: Long): String =
+    s"""WITH sym AS MATERIALIZED ($S),
+       |nc AS MATERIALIZED (
+       |  SELECT src AS c, dst % 4 AS l,
+       |    CAST(COUNT(DISTINCT dst) AS BIGINT) AS cnt
+       |  FROM sym GROUP BY src, dst % 4),
+       |centers AS MATERIALIZED (
+       |  SELECT a.c % 4 AS lc, a.l AS l1, b.l AS l2,
+       |    CAST(COUNT(DISTINCT a.c) AS BIGINT) AS domc
+       |  FROM nc a JOIN nc b ON a.c = b.c
+       |    AND (a.l < b.l OR (a.l = b.l AND a.cnt >= 2))
+       |  GROUP BY a.c % 4, a.l, b.l),
+       |ep AS MATERIALIZED (
+       |  SELECT e.dst % 4 AS lc, e.src % 4 AS lu, n.l,
+       |    CAST(COUNT(DISTINCT e.src) AS BIGINT) AS dom
+       |  FROM sym e JOIN nc n ON e.dst = n.c
+       |  WHERE n.cnt >= CASE WHEN e.src % 4 = n.l THEN 2 ELSE 1 END
+       |  GROUP BY e.dst % 4, e.src % 4, n.l),
+       |d1 AS (SELECT lc, lu AS l1, l AS l2, dom AS dom1 FROM ep
+       |  WHERE lu <= l),
+       |d2 AS (SELECT lc, l AS l1, lu AS l2, dom AS dom2 FROM ep
+       |  WHERE l <= lu)
+       |SELECT c.lc, c.l1, c.l2,
+       |  CAST(LEAST(c.domc, d1.dom1, d2.dom2) AS BIGINT) AS support
+       |FROM centers c
+       |JOIN d1 ON c.lc = d1.lc AND c.l1 = d1.l1 AND c.l2 = d1.l2
+       |JOIN d2 ON c.lc = d2.lc AND c.l1 = d2.l1 AND c.l2 = d2.l2
+       |WHERE LEAST(c.domc, d1.dom1, d2.dom2) >= $minsup
+       |ORDER BY c.lc, c.l1, c.l2""".stripMargin
+
   /** One k-way level (mirrors graft.operators.Bipart.splitLevel): every
     * part of the input assignment `pin` bisected simultaneously — intra-
     * part edges, matching contraction, per-part (PARTITION BY grp)
@@ -1075,13 +1122,13 @@ object Oracles {
        |  SELECT src AS id FROM edges
        |  UNION ALL SELECT dst AS id FROM edges) u),
        |p0 AS MATERIALIZED (
-       |  SELECT id AS vr, id + 1000000 AS obj FROM vs WHERE id % 3 = 0),
+       |  SELECT id AS vr, id + 1000000 AS obj FROM vs WHERE id % 5 = 0),
        |c0 AS MATERIALIZED (
-       |  SELECT src, dst FROM edges WHERE (src + dst) % 4 = 0),
+       |  SELECT src, dst FROM edges WHERE (src + dst) % 8 = 0),
        |ld AS MATERIALIZED (
-       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 4 = 1),
+       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 8 = 1),
        |st AS MATERIALIZED (
-       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 4 = 2),
+       |  SELECT src AS q, dst AS p FROM edges WHERE (src + dst) % 8 = 2),
        |$iters
        |SELECT vr AS id, CAST(COUNT(*) AS BIGINT) AS npts
        |FROM p$rounds GROUP BY vr ORDER BY id""".stripMargin

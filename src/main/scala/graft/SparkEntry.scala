@@ -332,6 +332,14 @@ object SparkEntry {
       Seq(Mining.kcliqueCount(TpchGraph.edges(s, d), 5)).toDF("cliques")
     }),
     "motif_3" -> ((s, d) => Mining.motif3(TpchGraph.edges(s, d))),
+    // §2.6 FSM (fsm.cpp, pangolin edge_miner): exact-MNI frequent edge
+    // and wedge patterns over id%4 vertex labels — domains by O(E)
+    // aggregates, no embedding enumeration
+    "fsm_edge_s50" -> ((s, d) =>
+      Mining.fsmEdge(TpchGraph.edges(s, d), 50L).orderBy("l1", "l2")),
+    "fsm_wedge_s50" -> ((s, d) =>
+      Mining.fsmWedge(TpchGraph.edges(s, d), 50L)
+        .orderBy("lc", "l1", "l2")),
     // §2.6 matrix completion (matrixCompletion.cpp): alternating
     // full-batch fixed-point gradient rounds over the bipartite
     // customer×part ratings table — factors + the SSE convergence trace
@@ -531,6 +539,8 @@ object SparkEntry {
     "kclique_4" -> Oracles.kclique(4),
     "kclique_5" -> Oracles.kclique(5),
     "motif_3" -> Oracles.motif3,
+    "fsm_edge_s50" -> Oracles.fsmEdge(50),
+    "fsm_wedge_s50" -> Oracles.fsmWedge(50),
     "text_tokens" -> PipelineOracles.textTokens,
     "text_quality" -> PipelineOracles.textQuality,
     "text_langid" -> PipelineOracles.textLangId,

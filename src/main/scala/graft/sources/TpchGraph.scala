@@ -62,23 +62,26 @@ object TpchGraph {
       |GROUP BY o.o_custkey, l.l_partkey""".stripMargin
 
   /** Points-to constraint fixture (PointsTo.cpp readConstraints): the
-    * directed edge table split by (src+dst)%4 into Copy / Load / Store
-    * constraints, with AddressOf seeds o_v = v + 1,000,000 for every
-    * third vertex — deterministic and reproducible in SQL.
-    * Returns (addressOf(var,obj), copies(src,dst), loads(q,p),
+    * directed edge table split by (src+dst)%8 into Copy / Load / Store
+    * constraints (classes 0/1/2 — a 3/8 constraint density; real
+    * constraint graphs are SPARSE relative to this fixture's saturated
+    * sf0.1 edge table, and Andersen's is famously near-cubic, so the
+    * fixture keeps the closure tractable while still exercising every
+    * rule), with AddressOf seeds o_v = v + 1,000,000 for every fifth
+    * vertex. Returns (addressOf(var,obj), copies(src,dst), loads(q,p),
     * stores(q,p)). */
   def ptaConstraints(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = edges(spark, sfDir).localCheckpoint(true)
     val vs = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-    val addressOf = vs.filter(col("id") % 3 === 0)
+    val addressOf = vs.filter(col("id") % 5 === 0)
       .select(col("id").as("var"), (col("id") + 1000000L).as("obj"))
-    val copies = e.filter((col("src") + col("dst")) % 4 === 0)
+    val copies = e.filter((col("src") + col("dst")) % 8 === 0)
       .select(col("src"), col("dst"))
-    val loads = e.filter((col("src") + col("dst")) % 4 === 1)
+    val loads = e.filter((col("src") + col("dst")) % 8 === 1)
       .select(col("src").as("q"), col("dst").as("p"))
-    val stores = e.filter((col("src") + col("dst")) % 4 === 2)
+    val stores = e.filter((col("src") + col("dst")) % 8 === 2)
       .select(col("src").as("q"), col("dst").as("p"))
     (addressOf, copies, loads, stores)
   }

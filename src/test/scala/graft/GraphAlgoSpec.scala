@@ -199,6 +199,20 @@ class GraphAlgoSpec extends AnyFunSuite {
       matchRounds = 2, refineRounds = 2)) == m)
   }
 
+  test("FSM: aggregate-computed MNI wedge supports equal full embedding " +
+      "enumeration") {
+    val got = Mining.fsmWedge(web.edges, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val brute = TestOracles.fsmWedgeBrute(edgeArray, 4)
+    assert(got == brute)
+    // edge patterns: support bounded by the label-class sizes and
+    // symmetric patterns self-consistent
+    val eg = Mining.fsmEdge(web.edges, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(eg.nonEmpty && eg.keys.forall { case (a, b) => a <= b })
+  }
+
   test("Bipart k-way: 4 balanced parts, strict refinement of the " +
       "2-way structure, deterministic") {
     val parts = Bipart.kway(web.edges, depth = 2).localCheckpoint(true)
@@ -242,7 +256,8 @@ class GraphAlgoSpec extends AnyFunSuite {
   test("Points-to: BSP semi-naive rounds match the sequential Andersen " +
       "fixpoint") {
     import TestSpark.spark.implicits._
-    // same %-split rules as TpchGraph.ptaConstraints, over fixture edges
+    // a DENSER split than TpchGraph.ptaConstraints (%4 classes, %3
+    // seeds) so the small fixture still grows a non-trivial closure
     val es = edgeArray.take(300)
     val vs = es.flatMap { case (a, b) => Seq(a, b) }.distinct
     val ao = vs.filter(_ % 3 == 0).map(v => (v, v + 1000000L)).toSeq

@@ -164,6 +164,28 @@ object TestOracles {
     flow
   }
 
+  /** Brute-force MNI wedge-pattern support by full embedding
+    * enumeration (labels = id % numLabels): for every wedge u–c–w the
+    * canonical pattern is (lab c; sorted endpoint labels) and each
+    * position's domain collects the distinct vertices seen there. */
+  def fsmWedgeBrute(edges: Array[(Long, Long)], numLabels: Int)
+      : Map[(Long, Long, Long), Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val doms = mutable.Map.empty[(Long, Long, Long),
+      (mutable.Set[Long], mutable.Set[Long], mutable.Set[Long])]
+    for (c <- adj.keys; u <- adj(c); w <- adj(c) if u != w) {
+      val (lu, lw) = (u % numLabels, w % numLabels)
+      val (l1, l2, p1, p2) = if (lu <= lw) (lu, lw, u, w) else (lw, lu, w, u)
+      val d = doms.getOrElseUpdate((c % numLabels, l1, l2),
+        (mutable.Set.empty, mutable.Set.empty, mutable.Set.empty))
+      d._1 += c; d._2 += p1; d._3 += p2
+    }
+    doms.view.mapValues { case (dc, d1, d2) =>
+      math.min(dc.size, math.min(d1.size, d2.size)).toLong
+    }.toMap
+  }
+
   /** Brute-force triangle count on the symmetrized simple graph. */
   def triangles(edges: Array[(Long, Long)]): Long = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
