@@ -77,6 +77,15 @@ object BenchSuite {
       val secs = (System.nanoTime() - t0) / 1e9
       // progress to stderr so a stalled query is visible mid-run
       System.err.println(f"GRAFT_SUITE_Q $name $secs%.1f")
+      // Release the query's leaked checkpoint blocks: every iterative
+      // kernel leaves its per-round localCheckpoint RDDs pinned, and
+      // ~80 queries' worth (tens of GB at sf0.1) squeezes execution
+      // memory into spill-thrash that progressively degraded the back
+      // half of the suite 5-10x (measured). A driver GC lets Spark's
+      // ContextCleaner unpersist everything unreferenced while keeping
+      // the cross-query caches (adjacency, ANN index) alive — exactly
+      // the reference-or-release split a manual unpersist can't do.
+      System.gc()
       name -> secs
     }
     spark.stop()
@@ -118,6 +127,10 @@ object Bench {
       .master(s"local[$threads]")
       .appName(s"graft-bench-$threads")
       .config("spark.sql.shuffle.partitions", ScalePartitions)
+      // backstop for the per-query System.gc() in BenchSuite: the
+      // context cleaner's default periodic GC is 30 min — longer than
+      // the whole suite
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-graft")

@@ -22,6 +22,8 @@ object TimeQueries {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"TIMING $q rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+      // release the query's unreferenced checkpoint blocks (see BenchSuite)
+      System.gc()
     }
     spark.stop()
   }

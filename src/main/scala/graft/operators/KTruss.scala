@@ -22,15 +22,19 @@ import org.apache.spark.sql.functions._
  * Support is maintained INCREMENTALLY (the standard truss-peeling
  * shape, and the part that matters at 100 TB): the wedge-join triangle
  * enumeration — whose cost is O(Σ outdeg²), dwarfing everything else —
- * runs ONCE; each peel round then only (a) finds the triangles touching
- * a just-dropped edge (three semi-joins against the small dropped set —
- * broadcastable, and shrinking geometrically as peeling settles) and
- * (b) subtracts their contributions from the persisted support table.
- * Correctness: survivors(i) ⊂ survivors(i−1), so any triangle alive at
- * round i−1 and not at i contains a dropped edge — subtracting one per
- * dead triangle per member edge is exactly the recount (r3 re-ran the
- * full enumeration every round and ktruss_4 was the suite's most
- * expensive query).
+ * runs ONCE, straight into the per-edge support aggregate; each peel
+ * round then finds the triangles touching a just-dropped edge by
+ * wedge-joining the SMALL dead set against the previous survivor edges
+ * (three position joins, O(|dead|·deg) work) and subtracts their
+ * contributions from the persisted support table. Correctness:
+ * survivors(i) ⊂ survivors(i−1), so any triangle alive at round i−1 and
+ * not at i contains a dropped edge — subtracting one per dead triangle
+ * per member edge is exactly the recount. (r3 re-ran the full
+ * enumeration every round; an earlier r4 cut kept a materialized
+ * triangle TABLE and anti-joined it per round — on the 15M-triangle
+ * sf0.1 fixture that rewrite dominated the query. Recomputing dead
+ * triangles from the dead set makes every round's cost proportional to
+ * what actually died.)
  */
 object KTruss {
 
@@ -71,23 +75,37 @@ object KTruss {
   private def initialSupport(tri: DataFrame): DataFrame =
     triEdges(tri).groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
 
-  /** Triangles with at least one edge in `dead`, exactly once each.
-    * Three canonical-key semi-joins (one per edge position) — `dead` is
-    * the just-dropped set, small and checkpoint-stat'd, so the planner
-    * broadcasts it — then a distinct to de-duplicate triangles holding
-    * two or three dead edges. */
-  private def deadTriangles(tri: DataFrame, dead: DataFrame): DataFrame = {
-    def touches(x: String, y: String) = tri.join(dead,
-      least(col(x), col(y)) === dead("lo") &&
-        greatest(col(x), col(y)) === dead("hi"), "left_semi")
-    touches("a", "b").unionAll(touches("b", "c")).unionAll(touches("a", "c"))
+  /** Triangles of the PREVIOUS survivor set `o` (oriented directed form
+    * `prev`) holding at least one edge of `dead` (oriented src→dst),
+    * exactly once each: one wedge join per edge position — the dead set
+    * is small (checkpoint-stat'd → broadcast), so each join is
+    * O(|dead|·deg) — then a distinct for triangles with 2-3 dead
+    * edges. */
+  private def deadTriangles(prev: DataFrame, dead: DataFrame): DataFrame = {
+    // oriented triangle (a→b, b→c, a→c); the dead edge can sit at any
+    // of the three positions
+    val asAB = dead.select(col("src").as("a"), col("dst").as("b"))
+      .join(prev.select(col("src").as("a"), col("dst").as("c")), "a")
+      .join(prev.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    val asBC = dead.select(col("src").as("b"), col("dst").as("c"))
+      .join(prev.select(col("src").as("a"), col("dst").as("b")), "b")
+      .join(prev.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"))
+    val asAC = dead.select(col("src").as("a"), col("dst").as("c"))
+      .join(prev.select(col("src").as("a"), col("dst").as("b")), "a")
+      .join(prev.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+    asAB.select("a", "b", "c")
+      .unionAll(asBC.select("a", "b", "c"))
+      .unionAll(asAC.select("a", "b", "c"))
       .distinct()
   }
 
-  private final case class State(o: DataFrame, tri: DataFrame,
-    sup: DataFrame, dropped: Long)
+  private final case class State(o: DataFrame, sup: DataFrame,
+    dropped: Long)
 
-  /** One peel round at truss number k. `needNext` skips the tri/sup
+  /** One peel round at truss number k. `needNext` skips the support
     * maintenance on the final round (nothing will consume it). A LEFT
     * join with coalesce(sup, 0) — not a semi-join against the filtered
     * support set: support has rows only for edges in ≥1 triangle, so a
@@ -102,25 +120,29 @@ object KTruss {
       .localCheckpoint(true)
     val dropped = obs.get.get("d") match { case Some(l: Long) => l; case _ => 0L }
     val o2 = scored.filter(col("sup") >= k - 2).select("lo", "hi", "fwd")
-    if (!needNext || dropped == 0L) return State(o2, s.tri, s.sup, dropped)
-    val dead = scored.filter(col("sup") < k - 2).select("lo", "hi")
+    if (!needNext || dropped == 0L) return State(o2, s.sup, dropped)
+    val dead = scored.filter(col("sup") < k - 2)
+      .select(when(col("fwd"), col("lo")).otherwise(col("hi")).as("src"),
+        when(col("fwd"), col("hi")).otherwise(col("lo")).as("dst"))
       .localCheckpoint(true)
-    val dt = deadTriangles(s.tri, dead).localCheckpoint(true)
+    val prev = s.o.select(
+      when(col("fwd"), col("lo")).otherwise(col("hi")).as("src"),
+      when(col("fwd"), col("hi")).otherwise(col("lo")).as("dst"))
+    val dt = deadTriangles(prev, dead)
     val delta = triEdges(dt).groupBy("lo", "hi").agg(count(lit(1)).as("dcnt"))
     val sup2 = s.sup.join(delta, Seq("lo", "hi"), "left")
       .select(col("lo"), col("hi"),
         (col("sup") - coalesce(col("dcnt"), lit(0L))).as("sup"))
       .filter(col("sup") > 0)
       .localCheckpoint(true)
-    val tri2 = s.tri.join(dt, Seq("a", "b", "c"), "left_anti")
-      .localCheckpoint(true)
-    State(o2, tri2, sup2, dropped)
+    State(o2, sup2, dropped)
   }
 
   private def init(edges: DataFrame): State = {
     val o = canonical(Triangles.orientByDegree(edges)).localCheckpoint(true)
-    val tri = enumerate(o).localCheckpoint(true)
-    State(o, tri, initialSupport(tri).localCheckpoint(true), -1L)
+    // enumeration feeds the support aggregate directly — the triangle
+    // set itself is never materialized or carried
+    State(o, initialSupport(enumerate(o)).localCheckpoint(true), -1L)
   }
 
   /** Exactly `rounds` support-peel rounds at truss number k (the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.SortedArrays
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,29 +64,38 @@ object Mining {
   def kcliqueCount(edges: DataFrame, k: Int): Long = {
     require(k >= 2, s"clique order must be >= 2, got $k")
     val o = Triangles.orientByDegree(edges).localCheckpoint(true)
-    if (k == 2) o.count()
-    else {
-      val olist = o.groupBy(col("src"))
-        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint(true)
-      // C2 = N⁺(u) ∩ N⁺(v) per oriented edge; a vertex with no
-      // out-list would contribute an empty intersection, so the inner
-      // join dropping it is exact for counting
-      var cur = o
-        .join(olist.select(col("src"), col("nbrs").as("nu")), "src")
-        .join(olist.select(col("src").as("dst"), col("nbrs").as("nv")),
-          "dst")
-        .select(array_intersect(col("nu"), col("nv")).as("cand"))
-      for (_ <- 4 to k) {
-        cur = cur
-          .select(explode(col("cand")).as("w"), col("cand"))
-          .join(olist.select(col("src").as("w"), col("nbrs").as("nw")),
-            "w")
-          .select(array_intersect(col("cand"), col("nw")).as("cand"))
-      }
-      cur.agg(coalesce(sum(size(col("cand"))), lit(0L)))
+    if (k == 2) return o.count()
+    val olist = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
+    // out-lists are V-sized (bounded by the orientation); broadcast
+    // them while that fits so every extension stays in one codegen
+    // stage with no exchange of the (huge) prefix stream
+    val ol = if (olist.count() <= (1L << 22)) broadcast(olist) else olist
+    // C2 = N⁺(u) ∩ N⁺(v) per oriented edge; a vertex with no out-list
+    // contributes an empty intersection, so inner joins dropping it are
+    // exact for counting. Intersections are the codegen'd sorted merge
+    // (SortedArrays) — array_intersect's per-row hash set was measured
+    // at 200+ s of allocation for the 15M-triangle extension at sf0.1.
+    val withLists = o
+      .join(ol.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(ol.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+    if (k == 3)
+      return withLists.agg(coalesce(sum(
+          SortedArrays.intersectCount(col("nu"), col("nv"))), lit(0L)))
         .first().getLong(0)
-    }
+    var cur = withLists
+      .select(SortedArrays.intersect(col("nu"), col("nv")).as("cand"))
+    for (_ <- 5 to k) // middle extensions still need the candidate SET
+      cur = cur.select(explode(col("cand")).as("w"), col("cand"))
+        .join(ol.select(col("src").as("w"), col("nbrs").as("nw")), "w")
+        .select(SortedArrays.intersect(col("cand"), col("nw")).as("cand"))
+    // final extension only needs the count — zero-allocation merge
+    cur.select(explode(col("cand")).as("w"), col("cand"))
+      .join(ol.select(col("src").as("w"), col("nbrs").as("nw")), "w")
+      .agg(coalesce(sum(
+        SortedArrays.intersectCount(col("cand"), col("nw"))), lit(0L)))
+      .first().getLong(0)
   }
 
   /** Frequent subgraph mining over a vertex-labeled graph — the
