@@ -465,6 +465,10 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(Mining.kcliqueCount(g, 6) == 0)
     // k=3 must equal triangle counting on the fixture web graph
     assert(Mining.kcliqueCount(web.edges, 3) == Triangles.count(web.edges))
+    // the merge-intersect counting kernel agrees with the join-cascade
+    // LISTING kernel on the fixture (two independent formulations)
+    assert(Mining.kcliqueCount(web.edges, 4) ==
+      Mining.kcliques(web.edges, 4).count())
   }
 
   test("3-motif census: closed forms on K5 and a path") {
