@@ -71,6 +71,16 @@ object BenchSuite {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, cpus) = args
     val spark = Bench.session(cpus.toInt)
+    // Session warm-up BEFORE the measured loop: the first query in a
+    // fresh JVM pays ~8s of one-time cost (parquet reader + codegen +
+    // first exchange init) that has nothing to do with that query —
+    // r4's recorded suite charged all of it to ann_topk (alphabetically
+    // first; 11.5s recorded vs 1.6-3.8s measured warm). One tiny read +
+    // one tiny shuffle absorb it; every query is then measured in the
+    // same steady state.
+    spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id")
+      % 7).as("k")).count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -118,7 +128,24 @@ object Bench {
   private val ScalePartitions = 32
   private val AdjPath = "/dev/shm/graft-bench-adj"
   private val ScaleIters = 6
-  private val Loops = 2
+  private def envInt(k: String, d: Int): Int =
+    sys.env.get(k).flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(d)
+  // Every budget knob is env-tunable (r4 lesson: the recorded artifact
+  // timed out at the driver's outer budget with ZERO output). Defaults
+  // are sized so a full run lands in ~20-25 min on this host: 2 measure
+  // rounds per level (was 4), 1 convergence run (was best-of-2), 5-min
+  // global settle budget (was 8).
+  private val Loops = envInt("GRAFT_BENCH_LOOPS", 2)
+  private val MeasureRounds = envInt("GRAFT_BENCH_ROUNDS", 2)
+  private val ConvRuns = envInt("GRAFT_BENCH_CONV_RUNS", 1)
+
+  /** Host 1-min load average — recorded per phase in the artifact so a
+    * co-tenant-degraded run is auditable, not asserted (r4: absolute
+    * throughput halved across the board and the cause could only be
+    * claimed, never checked). */
+  private def load1(): Double = scala.util.Try(
+    scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble).getOrElse(-1.0)
 
   private[graft] def session(threads: Int, aqe: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
@@ -165,8 +192,8 @@ object Bench {
     * wait budget caps the sum of all settle waits across the run, so a
     * host that never quiets cannot stretch the bench unboundedly (the
     * per-round artifact must land well inside any driver timeout). */
-  private val settleBudgetMs =
-    new java.util.concurrent.atomic.AtomicLong(8 * 60 * 1000L)
+  private val settleBudgetMs = new java.util.concurrent.atomic.AtomicLong(
+    envInt("GRAFT_BENCH_SETTLE_BUDGET_MS", 5 * 60 * 1000))
   private def settle(maxLoad: Double, maxWaitMs: Long): Unit = {
     val granted = math.min(maxWaitMs, math.max(0L, settleBudgetMs.get()))
     val deadline = System.currentTimeMillis() + granted
@@ -196,6 +223,15 @@ object Bench {
     (e.toLong, eps.toDouble)
   }
 
+  /** Write `line` to target/bench_last.json (overwriting — the file
+    * always holds the most complete artifact so far). */
+  private def writeArtifact(line: String): Unit = {
+    val f = new java.io.File("/root/repo/target/bench_last.json")
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f)
+    try w.println(line) finally w.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -205,64 +241,101 @@ object Bench {
     // convergence corpus: full html ingest tier by sf
     val convPages = if (sfDir.contains("sf0.1")) 200000L
       else if (sfDir.contains("sf0.01")) 20000L else 2000L
+    // per-phase 1-min load samples, streamed into every partial artifact
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def sampleLoad(k: String): Unit = loads(k) = load1()
+    def loadsJson: String =
+      loads.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
     // 1. scaling FIRST, with the corpus built in a CHILD JVM: round-1
     // recorded numbers collapsed 2-3x at 8+ threads after the parent heap
     // had churned tens of GB (host THP/page-cache fragmentation), so the
     // parent orchestrates processes only and never runs Spark at all.
+    sampleLoad("build_pre")
     child("graft.BenchBuilder",
       Seq(AdjPath, scaleN.toString, scaleAvgOut.toString, cpus.toString))
     // fixed best-of-N per level, unconditionally — no score-conditioned
     // retries (a one-sided stopping rule would bias the recorded number).
-    // N=4: this host's background tenants can halve any single run (1-min
-    // load swings 0.8→5+ between back-to-back benches); interference is
-    // strictly one-sided (it only slows), so unconditional best-of-N is
-    // the disclosed estimator of the undisturbed number.
-    val MeasureRounds = 4
+    // Co-tenant interference is strictly one-sided (it only slows), so
+    // unconditional best-of-N is the disclosed estimator of the
+    // undisturbed number; N defaults to 2 (env GRAFT_BENCH_ROUNDS) —
+    // r4's N=4 pushed the whole run past the driver's outer timeout,
+    // which voids the artifact entirely and is strictly worse than a
+    // noisier-but-recorded number.
     var scaleEdges = 0L
-    def best(threads: Int): Double = (1 to MeasureRounds).map { _ =>
-      val (e, eps) = prThroughput(threads)
-      scaleEdges = e
+    def best(threads: Int): Double = {
+      sampleLoad(s"n${threads}_pre")
+      val eps = (1 to MeasureRounds).map { _ =>
+        val (e, r) = prThroughput(threads)
+        scaleEdges = e
+        r
+      }.max
+      sampleLoad(s"n${threads}_post")
       eps
-    }.max
+    }
     val eps2 = best(2)
     val eps8 = best(8)
     val eps32 = best(cpus)
     val effN4N = (eps8 / eps2) / 4.0
     val eff8to32 = (eps32 / eps8) / (cpus / 8.0)
 
-    // 2. query-suite timings — in a fresh child JVM
-    val suiteOut = child("graft.BenchSuite", Seq(sfDir, cpus.toString))
-    val qs = suiteOut.linesIterator.find(_.startsWith("GRAFT_SUITE "))
-      .map(_.stripPrefix("GRAFT_SUITE "))
-      .getOrElse(sys.error(s"suite failed:\n${suiteOut.takeRight(2000)}"))
-    val total = suiteOut.linesIterator
-      .find(_.startsWith("GRAFT_SUITE_TOTAL "))
-      .map(_.stripPrefix("GRAFT_SUITE_TOTAL ").toDouble).getOrElse(-1.0)
-
-    // 3. convergence evidence — in a fresh child JVM (r2 ran this in the
-    // suite-churned parent and recorded 3.3x under the engine's
-    // capability); same fixed best-of-2 discipline as the levels
-    val convLine = (1 to 2).map { _ =>
-      settle(maxLoad = 6.0, maxWaitMs = 90000)
-      val convOut = child("graft.BenchConverge",
-        Seq(convPages.toString, cpus.toString))
-      convOut.linesIterator.find(_.startsWith("GRAFT_CONV"))
-        .getOrElse(sys.error(s"converge failed:\n${convOut.takeRight(2000)}"))
-    }.minBy(_.split(" ")(4).toDouble) // fewest seconds
-    val Array(_, convEdges, convIters, convConverged, convSecs, convEps) =
-      convLine.split(" ")
-
-    val pr =
+    def prJson(conv: Option[Array[String]]): String = {
+      val convPart = conv match {
+        case Some(Array(_, ce, ci, cc, cs, cep)) =>
+          s""","convergence_pages":$convPages,"convergence_edges":$ce,""" +
+            s""""convergence_1e6_iters":$ci,"convergence_converged":$cc,""" +
+            s""""convergence_secs":$cs,"convergence_edges_per_sec_iter":$cep"""
+        case _ => ""
+      }
       s"""{"scale_vertices":$scaleN,"scale_edges":$scaleEdges,"fixed_iters":$ScaleIters,""" +
         s""""measured_loops":$Loops,"measure_rounds":$MeasureRounds,""" +
         s""""edges_per_sec_iter_n2":${eps2.round},"edges_per_sec_iter_n8":${eps8.round},""" +
         s""""edges_per_sec_iter_n$cpus":${eps32.round},""" +
         s""""scaling_efficiency_n_to_4n":${f"$effN4N%.3f"},""" +
         s""""scaling_efficiency_8_to_$cpus":${f"$eff8to32%.3f"},""" +
-        s""""convergence_pages":$convPages,"convergence_edges":$convEdges,""" +
-        s""""convergence_1e6_iters":$convIters,"convergence_converged":$convConverged,""" +
-        s""""convergence_secs":$convSecs,"convergence_edges_per_sec_iter":$convEps}"""
+        s""""load_1min":$loadsJson$convPart}"""
+    }
+    def compactJson(total: Double, pr: String, phase: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":{"suite_total":$total},"pagerank_scaling":$pr,""" +
+        s""""sf":"$sfDir","bench_phase":"$phase",""" +
+        s""""full_queries":"target/bench_last.json"}"""
+
+    // STREAM the phase-1 artifact NOW: the north-rule number is on disk
+    // and on stdout before the (long) suite phase starts, so a driver
+    // timeout later can no longer void the headline evidence (r4 failure
+    // mode: rc 124 after 100% of the output was held for the end).
+    val phase1 = compactJson(-1.0, prJson(None), "scaling")
+    println(phase1)
+    writeArtifact(phase1)
+
+    // 2. query-suite timings — in a fresh child JVM
+    sampleLoad("suite_pre")
+    val suiteOut = child("graft.BenchSuite", Seq(sfDir, cpus.toString))
+    sampleLoad("suite_post")
+    val qs = suiteOut.linesIterator.find(_.startsWith("GRAFT_SUITE "))
+      .map(_.stripPrefix("GRAFT_SUITE "))
+      .getOrElse(sys.error(s"suite failed:\n${suiteOut.takeRight(2000)}"))
+    val total = suiteOut.linesIterator
+      .find(_.startsWith("GRAFT_SUITE_TOTAL "))
+      .map(_.stripPrefix("GRAFT_SUITE_TOTAL ").toDouble).getOrElse(-1.0)
+    val phase2 = compactJson(total, prJson(None), "suite")
+    println(phase2)
+
+    // 3. convergence evidence — in a fresh child JVM (r2 ran this in the
+    // suite-churned parent and recorded 3.3x under the engine's
+    // capability); best-of-ConvRuns (default 1 — the quiet gate plus the
+    // recorded load sample replace repeats as the noise defence).
+    sampleLoad("conv_pre")
+    val convLine = (1 to ConvRuns).map { _ =>
+      settle(maxLoad = 6.0, maxWaitMs = 90000)
+      val convOut = child("graft.BenchConverge",
+        Seq(convPages.toString, cpus.toString))
+      convOut.linesIterator.find(_.startsWith("GRAFT_CONV"))
+        .getOrElse(sys.error(s"converge failed:\n${convOut.takeRight(2000)}"))
+    }.minBy(_.split(" ")(4).toDouble) // fewest seconds
+    sampleLoad("conv_post")
+    val pr = prJson(Some(convLine.split(" ")))
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -270,18 +343,11 @@ object Bench {
     // The driver records only a bounded TAIL of stdout: in r1 and r3 the
     // full per-query line outgrew that window, its HEAD was cut off, and
     // the artifact landed driver-unparseable (parsed:null). So print the
-    // full line first (and keep a file copy), then a ~700-byte COMPACT
+    // full line first (and keep a file copy), then a ~900-byte COMPACT
     // line LAST — scaling + convergence + suite total only — sized to
     // survive any tail window; a last-line/tail parser always gets it.
     println(json)
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""queries":{"suite_total":$total},"pagerank_scaling":$pr,""" +
-        s""""sf":"$sfDir","full_queries":"target/bench_last.json"}"""
-    val f = new java.io.File("/root/repo/target/bench_last.json")
-    f.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(f)
-    try w.println(json) finally w.close()
-    println(compact)
+    writeArtifact(json)
+    println(compactJson(total, pr, "complete"))
   }
 }

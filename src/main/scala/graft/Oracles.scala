@@ -834,6 +834,148 @@ object Oracles {
        |       CAST(w.wedges - 3 * t.triangles AS BIGINT) AS open_wedges
        |FROM w, t""".stripMargin
 
+  /** Edge-induced 4-cycle count (sgl_cycle): the max-vertex wedge
+    * formulation under ID order — every 4-cycle has a unique maximum
+    * vertex u (any total order works, so the engine's (degree, id)
+    * order and this oracle's id order agree) and a unique opposite w;
+    * Σ C(wedges(u,w), 2) over wedges u–v–w with v, w < u counts each
+    * cycle exactly once. */
+  val sglCycle: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |wed AS (SELECT o.dst AS u, e.dst AS w
+       |        FROM o JOIN edges e ON e.src = o.src WHERE e.dst < o.dst),
+       |g AS (SELECT u, w, COUNT(*) AS n FROM wed GROUP BY u, w)
+       |SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+       |  AS cycles FROM g""".stripMargin
+
+  /** Edge-induced diamond count (sgl_diamond) = pairs of triangles
+    * sharing an edge: triangle listing → 3 edge credits each →
+    * Σ C(t_e, 2). */
+  val sglDiamond: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |ecr AS (SELECT x, y, COUNT(*) AS n FROM (
+       |        SELECT a AS x, b AS y FROM tri
+       |        UNION ALL SELECT b, c FROM tri
+       |        UNION ALL SELECT a, c FROM tri) u GROUP BY x, y)
+       |SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+       |  AS diamonds FROM ecr""".stripMargin
+
+  /** 4-vertex connected-motif census, INDUCED counts via the same
+    * inclusion–exclusion identities as graft.operators.Mining.motif4
+    * (cross-checked against a brute-force census in the ScalaTest
+    * spec): subgraph counts k4 (4-clique cascade), dsub (edge-sharing
+    * triangle pairs), c4s (max-vertex wedges), pawsub (Σ t_v·(d_v−2)),
+    * starsub (Σ C(d,3)), p4walks (Σ_e (d_u−1)(d_v−1)). */
+  val motif4: String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+       |      FROM edges GROUP BY src),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tri),
+       |k4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k4 FROM o p12
+       |       JOIN o p23 ON p23.src = p12.dst
+       |       JOIN o p13 ON p13.src = p12.src AND p13.dst = p23.dst
+       |       JOIN o p34 ON p34.src = p23.dst
+       |       JOIN o p14 ON p14.src = p12.src AND p14.dst = p34.dst
+       |       JOIN o p24 ON p24.src = p12.dst AND p24.dst = p34.dst),
+       |ecr AS (SELECT x, y, COUNT(*) AS n FROM (
+       |        SELECT a AS x, b AS y FROM tri
+       |        UNION ALL SELECT b, c FROM tri
+       |        UNION ALL SELECT a, c FROM tri) u GROUP BY x, y),
+       |ds AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+       |       AS v FROM ecr),
+       |wed AS (SELECT o.dst AS u, e.dst AS w
+       |        FROM o JOIN edges e ON e.src = o.src WHERE e.dst < o.dst),
+       |c4 AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+       |       AS v FROM (SELECT u, w, COUNT(*) AS n FROM wed
+       |                  GROUP BY u, w) g),
+       |tv AS (SELECT id, COUNT(*) AS tv FROM (
+       |        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       |        UNION ALL SELECT c FROM tri) u GROUP BY id),
+       |paw AS (SELECT CAST(COALESCE(SUM(tv.tv * (deg.d - 2)), 0) AS BIGINT)
+       |        AS v FROM tv JOIN deg ON tv.id = deg.id),
+       |st AS (SELECT CAST(COALESCE(SUM(d * (d-1) * (d-2) // 6), 0) AS BIGINT)
+       |       AS v FROM deg),
+       |p4 AS (SELECT CAST(COALESCE(SUM((du.d - 1) * (dv.d - 1)), 0) AS BIGINT)
+       |       AS v FROM o JOIN deg du ON o.src = du.id
+       |       JOIN deg dv ON o.dst = dv.id)
+       |SELECT
+       |  CAST(p4.v - 3 * t.t - 4 * (c4.v - ds.v + 3 * k4.k4)
+       |    - 2 * (paw.v - 4 * ds.v + 12 * k4.k4)
+       |    - 6 * (ds.v - 6 * k4.k4) - 12 * k4.k4 AS BIGINT) AS path4,
+       |  CAST(st.v - (paw.v - 4 * ds.v + 12 * k4.k4)
+       |    - 2 * (ds.v - 6 * k4.k4) - 4 * k4.k4 AS BIGINT) AS star4,
+       |  CAST(c4.v - ds.v + 3 * k4.k4 AS BIGINT) AS cycle4,
+       |  CAST(paw.v - 4 * ds.v + 12 * k4.k4 AS BIGINT) AS tailed_tri4,
+       |  CAST(ds.v - 6 * k4.k4 AS BIGINT) AS diamond4,
+       |  k4.k4 AS clique4
+       |FROM t, k4, ds, c4, paw, st, p4""".stripMargin
+
+  /** FSM 3-edge triangle patterns with exact MNI over (id/8)%4 labels
+    * (mirrors graft.operators.Mining.fsm3Triangle; see lab3 for why
+    * NOT id%4). */
+  def fsm3Tri(minsup: Long): String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |o AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |lt AS (SELECT a, b, c, (a // 8) % 4 AS la, (b // 8) % 4 AS lbv,
+       |       (c // 8) % 4 AS lcv FROM tri),
+       |pt AS (SELECT LEAST(la, lbv, lcv) AS p1,
+       |       la + lbv + lcv - LEAST(la, lbv, lcv)
+       |         - GREATEST(la, lbv, lcv) AS p2,
+       |       GREATEST(la, lbv, lcv) AS p3, a, b, c, la, lbv, lcv FROM lt),
+       |corners AS (SELECT DISTINCT p1, p2, p3, v, lv FROM (
+       |       SELECT p1, p2, p3, a AS v, la AS lv FROM pt
+       |       UNION ALL SELECT p1, p2, p3, b, lbv FROM pt
+       |       UNION ALL SELECT p1, p2, p3, c, lcv FROM pt) u),
+       |dom AS (SELECT p1, p2, p3, lv, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM corners GROUP BY p1, p2, p3, lv)
+       |SELECT d1.p1 AS l1, d1.p2 AS l2, d1.p3 AS l3,
+       |  CAST(LEAST(d1.n, d2.n, d3.n) AS BIGINT) AS support
+       |FROM dom d1
+       |JOIN dom d2 ON d2.p1 = d1.p1 AND d2.p2 = d1.p2 AND d2.p3 = d1.p3
+       |  AND d2.lv = d1.p2
+       |JOIN dom d3 ON d3.p1 = d1.p1 AND d3.p2 = d1.p2 AND d3.p3 = d1.p3
+       |  AND d3.lv = d1.p3
+       |WHERE d1.lv = d1.p1 AND LEAST(d1.n, d2.n, d3.n) >= $minsup
+       |ORDER BY l1, l2, l3""".stripMargin
+
+  /** FSM 3-edge path patterns, exact MNI over (id/8)%4 labels — the
+    * oracle is an INDEPENDENT implementation: full embedding
+    * enumeration with distinctness predicates + per-slot distinct
+    * counts (feasible for DuckDB at oracle scale; the engine side uses
+    * the closed-form inclusion–exclusion because sf0.1 has 2.3·10^10
+    * path walks). */
+  def fsm3Path(minsup: Long): String =
+    s"""WITH edges AS MATERIALIZED ($S),
+       |emb AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e3.dst AS d
+       |        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |        JOIN edges e3 ON e2.dst = e3.src
+       |        WHERE e2.dst != e1.src AND e3.dst != e2.src
+       |          AND e3.dst != e1.src),
+       |lab AS (SELECT (a // 8) % 4 AS la, (b // 8) % 4 AS lb,
+       |        (c // 8) % 4 AS lc, (d // 8) % 4 AS ld, a, b, c, d
+       |        FROM emb),
+       |canon AS (SELECT * FROM lab WHERE (la, lb, lc, ld) <= (ld, lc, lb, la)),
+       |doms AS (SELECT la, lb, lc, ld,
+       |         LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b),
+       |               COUNT(DISTINCT c), COUNT(DISTINCT d)) AS s
+       |         FROM canon GROUP BY la, lb, lc, ld)
+       |SELECT la AS l1, lb AS l2, lc AS l3, ld AS l4,
+       |  CAST(s AS BIGINT) AS support
+       |FROM doms WHERE s >= $minsup
+       |ORDER BY l1, l2, l3, l4""".stripMargin
+
   val trianglesPerVertex: String =
     s"""WITH edges AS MATERIALIZED ($S),
        |v AS MATERIALIZED (${verts("edges")}),

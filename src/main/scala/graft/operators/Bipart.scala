@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
  *     the balance slack (Wsrc − Wtgt + W/10)/2 — tolerance 10%.
  *
  * Scale: matching/contraction are the proven kernels; refinement is one
- * edge join + grouped sum per round. The candidate ranking window is
- * global-ordered but runs over the positive-gain subset only (o(V));
- * at 1000-executor scale you would tier it (per-partition top-k then a
- * driver-side merge) — the deterministic order is the point.
+ * edge join + grouped sum per round. Both global-ordered prefix sums
+ * (initial split, candidate admission) run TIERED — range-partition,
+ * per-partition window, broadcast partition-total offsets
+ * ([[graft.plans.Ranking.tieredCumSum]]) — so no stage ever funnels
+ * through a single partition; the deterministic total order is
+ * preserved exactly.
  */
 object Bipart {
 
@@ -69,14 +71,17 @@ object Bipart {
     (ec, vwc, map)
   }
 
-  /** Balanced prefix split in id order: (id, part). */
+  /** Balanced prefix split in id order: (id, part). The running weight
+    * is the TIERED cumsum (range-partition + per-partition window +
+    * broadcast offsets, [[graft.plans.Ranking.tieredCumSum]]) — a
+    * globally-ordered unpartitioned window funnels all V vertices
+    * through one task, the single-partition exchange the plan-shape
+    * spec bans. */
   def initialSplit(vw: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = vw.agg(sum(col("wt"))).first().getLong(0)
-    vw.select(col("id"),
-      when(sum(col("wt")).over(w) * 2 <= total, lit(0L))
-        .otherwise(lit(1L)).as("part"))
+    graft.plans.Ranking.tieredCumSum(vw, Seq(col("id").asc), "wt", "cum")
+      .select(col("id"),
+        when(col("cum") * 2 <= total, lit(0L)).otherwise(lit(1L)).as("part"))
   }
 
   /** One refinement round; `srcPart` moves toward the other side. */
@@ -111,10 +116,13 @@ object Bipart {
       .filter(col("g2") > col("g1") ||
         (col("g2") === col("g1") && col("dst") < col("src")))
       .select(col("src").as("id")).distinct()
-    val cw = Window.orderBy(col("gain").desc, col("id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val movers = cand.join(blocked, Seq("id"), "left_anti")
-      .select(col("id"), sum(col("wt")).over(cw).as("cum"))
+    // priority-ordered admission with a TIERED running weight (no
+    // single-partition window): candidates are already thinned to the
+    // positive-gain independent set, but on a hub-heavy graph that set
+    // is still O(V)-ish — the same tiering as the kway per-part windows.
+    val movers = graft.plans.Ranking
+      .tieredCumSum(cand.join(blocked, Seq("id"), "left_anti"),
+        Seq(col("gain").desc, col("id").asc), "wt", "cum")
       .filter(col("cum") <= slack)
       .select(col("id"))
     parts.join(movers.withColumn("mv", lit(true)), Seq("id"), "left")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.SortedArrays
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,8 +70,15 @@ object Mining {
       .localCheckpoint(true)
     // out-lists are V-sized (bounded by the orientation); broadcast
     // them while that fits so every extension stays in one codegen
-    // stage with no exchange of the (huge) prefix stream
-    val ol = if (olist.count() <= (1L << 22)) broadcast(olist) else olist
+    // stage with no exchange of the (huge) prefix stream. The gate is
+    // on ESTIMATED BYTES (8 B/element + ~24 B row overhead), not row
+    // count: a few million rows of long-array out-lists can be multi-GB
+    // on a dense graph — past the broadcast limit and an executor-OOM
+    // risk exactly where a row-count gate would still pass.
+    val st = olist.agg(count(lit(1)),
+      coalesce(sum(size(col("nbrs"))), lit(0L))).first()
+    val estBytes = st.getLong(1) * 8L + st.getLong(0) * 24L
+    val ol = if (estBytes <= (256L << 20)) broadcast(olist) else olist
     // C2 = N⁺(u) ∩ N⁺(v) per oriented edge; a vertex with no out-list
     // contributes an empty intersection, so inner joins dropping it are
     // exact for counting. Intersections are the codegen'd sorted merge
@@ -176,8 +183,11 @@ object Mining {
   /** 3-vertex connected-motif census (motif.cpp's k=3 default): wedges
     * (paths of length 2, Σ_v C(d_v, 2) over undirected degrees),
     * triangles, and open wedges (wedges − 3·triangles — each triangle
-    * closes three wedges). One row (wedges, triangles, open_wedges). */
-  def motif3(edges: DataFrame): DataFrame = {
+    * closes three wedges). One row (wedges, triangles, open_wedges).
+    * `triangles` is taken as a parameter so a suite that has already
+    * counted them (the `triangles` query) shares the memo instead of
+    * re-running the 2-join enumeration. */
+  def motif3(edges: DataFrame, triangles: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val sym = GraphOps.symmetrize(edges)
@@ -186,10 +196,265 @@ object Mining {
     // Σ d(d−1) is even by construction; halve driver-side so both
     // engines do exact integer division
     val wedges = wedgeRow.getLong(0) / 2
-    // count() symmetrizes internally — pass the directed table so the
-    // orientation joins read E rows, not the 2E symmetrized copy
-    val triangles = Triangles.count(edges)
     Seq((wedges, triangles, wedges - 3 * triangles))
       .toDF("wedges", "triangles", "open_wedges")
+  }
+
+  /** The degree-oriented triangle listing (a, b, c) with a→b, b→c, a→c
+    * in the orientation — one row per undirected triangle. */
+  private def triangleListing(o: DataFrame): DataFrame = {
+    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = o.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = o.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Edge-induced 4-cycle count — the reference's subgraph-listing app
+    * for the rectangle pattern (lonestar/mining/cpu/subgraph-listing/
+    * sgl_cycle.cpp:1-55, pangolin BFS extension; "listing edge-induced
+    * subgraphs of a given pattern"). BSP form = the vertex-priority
+    * wedge formulation: under any total order (here (degree, id)),
+    * every 4-cycle has a unique maximum vertex u and a unique vertex w
+    * opposite u; grouping wedges u–v–w with v ≺ u, w ≺ u by (u, w) and
+    * summing C(n, 2) counts each 4-cycle exactly once. Enumerated
+    * wedges are bounded by Σ_v outdeg⁺(v)·deg(v) — the Chiba–Nishizeki
+    * O(α·E) bound — because hub CENTERS, which dominate Σ_v C(d_v, 2),
+    * rank above their neighbors and are excluded. */
+  def cycle4Count(edges: DataFrame): Long = {
+    val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val o = sym
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("du")), "dst")
+      .filter(col("ds") < col("du") ||
+        (col("ds") === col("du") && col("src") < col("dst")))
+      .select(col("src").as("v"), col("dst").as("u"), col("du"))
+    val pairs = o
+      .join(sym.select(col("src").as("v"), col("dst").as("w")), "v")
+      .join(deg.select(col("id").as("w"), col("d").as("dw")), "w")
+      .filter(col("dw") < col("du") ||
+        (col("dw") === col("du") && col("w") < col("u")))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("n"))
+    pairs.agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)))
+      .first().getLong(0)
+  }
+
+  /** Edge-induced diamond count (sgl_diamond.cpp) = unordered pairs of
+    * distinct triangles sharing an edge: enumerate the triangle listing
+    * once (O(T)), credit each triangle to its three edges, and sum
+    * C(t_e, 2) over per-edge triangle counts — the shared edge (the
+    * diamond's chord) identifies each diamond exactly once. */
+  def diamondCount(edges: DataFrame): Long = {
+    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
+    val tris = triangleListing(o)
+    // each oriented pair appears once in o, so (src,dst) of the three
+    // member edges is a canonical per-edge key
+    val credits = tris.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("c").as("y")),
+        struct(col("a").as("x"), col("c").as("y")))).as("e"))
+      .select(col("e.x"), col("e.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+    credits.agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)))
+      .first().getLong(0)
+  }
+
+  /** 4-vertex connected-motif census (motif.cpp k=4: `num_patterns[3] =
+    * {2, 6, 21}` — the 6 connected 4-vertex graphs), INDUCED counts via
+    * inclusion–exclusion over subgraph (non-induced) counts; every
+    * ingredient is an O(E) aggregate or one of the already-memoized
+    * heavy scalars (`triangles`, `cliques4` = kcl k=4, `cycles4Sub` =
+    * [[cycle4Count]], `diamondsSub` = [[diamondCount]],
+    * `triPerVertex` = the per-vertex triangle credits):
+    *
+    *   diamond = D_sub − 6·K4            (each K4 holds 6 edge-sharing
+    *                                      triangle pairs)
+    *   cycle4  = C4_sub − D_sub + 3·K4
+    *   paw     = paw_sub − 4·D_sub + 12·K4
+    *   claw    = star_sub − paw − 2·diamond − 4·K4
+    *   path4   = p4_sub − 4·cycle4 − 2·paw − 6·diamond − 12·K4
+    *
+    * with paw_sub = Σ_v t_v·(d_v − 2), star_sub = Σ_v C(d_v, 3) and
+    * p4_sub = Σ_{edges} (d_u − 1)(d_v − 1) − 3·T. The identities are
+    * cross-checked against a brute-force induced census in the spec. */
+  def motif4(edges: DataFrame, triangles: Long, cliques4: Long,
+      cycles4Sub: Long, diamondsSub: Long,
+      triPerVertex: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val pawSub = triPerVertex.join(deg, "id")
+      .agg(coalesce(sum(col("triangles") * (col("d") - 2)), lit(0L)))
+      .first().getLong(0)
+    val starSub = deg
+      .agg(coalesce(sum(expr("d * (d - 1) * (d - 2) DIV 6")), lit(0L)))
+      .first().getLong(0)
+    val p4Walks = sym.filter(col("src") < col("dst"))
+      .join(deg.select(col("id").as("src"), col("d").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dv")), "dst")
+      .agg(coalesce(sum((col("du") - 1) * (col("dv") - 1)), lit(0L)))
+      .first().getLong(0)
+    val p4Sub = p4Walks - 3 * triangles
+    val diamond = diamondsSub - 6 * cliques4
+    val cycle4 = cycles4Sub - diamondsSub + 3 * cliques4
+    val paw = pawSub - 4 * diamondsSub + 12 * cliques4
+    val claw = starSub - paw - 2 * diamond - 4 * cliques4
+    val path4 = p4Sub - 4 * cycle4 - 2 * paw - 6 * diamond - 12 * cliques4
+    Seq((path4, claw, cycle4, paw, diamond, cliques4))
+      .toDF("path4", "star4", "cycle4", "tailed_tri4", "diamond4",
+        "clique4")
+  }
+
+  /** Label for the 3-edge FSM tier: (id >> 3) % numLabels. NOT id %
+    * numLabels (the 1/2-edge tier's label): the fixture's edges connect
+    * vertices of the SAME id%8 residue class by construction, so id%4
+    * is monochromatic along every edge and a multi-vertex pattern over
+    * it would verify nothing; the slot part (id/8) varies across edges. */
+  private def lab3(c: Column, numLabels: Int): Column =
+    shiftright(c, 3) % numLabels
+
+  /** FSM 3-edge tier, triangle patterns (fsm.cpp with -k=3; pangolin
+    * edge_miner grows embeddings to arbitrary size ≥ 2, fsm.cpp:15-19):
+    * for sorted label triple (l1 ≤ l2 ≤ l3), the MNI domain of an
+    * l-labeled slot is the set of l-labeled vertices lying in a
+    * triangle whose corner labels form exactly that multiset — one O(T)
+    * pass over the triangle listing, no embedding worklists. Support =
+    * min over slot domains (same-label slots share a domain). */
+  def fsm3Triangle(edges: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame = {
+    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
+    def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
+    val tris = triangleListing(o)
+      .select(col("a"), col("b"), col("c"),
+        lb(col("a")).as("la"), lb(col("b")).as("lbb"), lb(col("c")).as("lc"))
+      .withColumn("p1", least(col("la"), col("lbb"), col("lc")))
+      .withColumn("p3", greatest(col("la"), col("lbb"), col("lc")))
+      .withColumn("p2",
+        col("la") + col("lbb") + col("lc") - col("p1") - col("p3"))
+    val corners = tris.select(col("p1"), col("p2"), col("p3"),
+        explode(array(
+          struct(col("a").as("v"), col("la").as("lv")),
+          struct(col("b").as("v"), col("lbb").as("lv")),
+          struct(col("c").as("v"), col("lc").as("lv")))).as("e"))
+      .select(col("p1"), col("p2"), col("p3"), col("e.v"), col("e.lv"))
+      .distinct()
+    val dom = corners.groupBy("p1", "p2", "p3", "lv")
+      .agg(count(lit(1)).as("n"))
+    val pats = dom.select("p1", "p2", "p3").distinct()
+    def slot(i: Int) = dom.select(col("p1"), col("p2"), col("p3"),
+      col("lv").as(s"j$i"), col("n").as(s"n$i"))
+    pats
+      .join(slot(1), Seq("p1", "p2", "p3")).filter(col("j1") === col("p1"))
+      .join(slot(2), Seq("p1", "p2", "p3")).filter(col("j2") === col("p2"))
+      .join(slot(3), Seq("p1", "p2", "p3")).filter(col("j3") === col("p3"))
+      .select(col("p1").as("l1"), col("p2").as("l2"), col("p3").as("l3"),
+        least(col("n1"), col("n2"), col("n3")).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** FSM 3-edge tier, path patterns (l1–l2–l3–l4, canonical under
+    * reversal): EXACT MNI domains with O(E·labels + T) aggregates and
+    * zero embedding enumeration — the fixture has 2.3·10^10 path walks
+    * at sf0.1, so enumeration is not an option (and is exactly what the
+    * pangolin embedding engine would do). A vertex is in a slot's
+    * domain iff its exact embedding count there is positive; the count
+    * is the raw walk count minus the walks that violate vertex
+    * distinctness, which partition cleanly (for slot 1, walks u-b-c-d:
+    * {c = u} ∪ {c ≠ u, d = b} ∪ {c ≠ u, d = u}) into closed forms over
+    * three reusable frames: nc(v,l) = labeled neighbor counts,
+    * nn(v,l1,l2) = Σ_{y~v, L(y)=l1} nc(y,l2), and tno(v,l1,l2) =
+    * ordered adjacent-neighbor-pair (labeled triangle) counts at v.
+    * Cross-checked against full enumeration in the spec. */
+  def fsm3Path(edges: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
+    def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
+    val nc = sym.groupBy(col("src").as("v"), lb(col("dst")).as("l"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val nn = sym.select(col("src").as("x"), col("dst").as("y"))
+      .join(nc.select(col("v").as("y"), col("l").as("l2"),
+        col("cnt").as("c2")), "y")
+      .groupBy(col("x"), lb(col("y")).as("l1"), col("l2"))
+      .agg(sum(col("c2")).as("s")).localCheckpoint(true)
+    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
+    val tno = triangleListing(o).select(explode(array(
+        struct(col("a").as("v"), lb(col("b")).as("x"), lb(col("c")).as("y")),
+        struct(col("a").as("v"), lb(col("c")).as("x"), lb(col("b")).as("y")),
+        struct(col("b").as("v"), lb(col("a")).as("x"), lb(col("c")).as("y")),
+        struct(col("b").as("v"), lb(col("c")).as("x"), lb(col("a")).as("y")),
+        struct(col("c").as("v"), lb(col("a")).as("x"), lb(col("b")).as("y")),
+        struct(col("c").as("v"), lb(col("b")).as("x"), lb(col("a")).as("y"))))
+        .as("t"))
+      .select(col("t.v"), col("t.x"), col("t.y"))
+      .groupBy("v", "x", "y").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    // slot-1 walk counts W(u, β, γ, δ) = Σ_{b~u, L(b)=β} nn(b, γ, δ)
+    val w1 = sym.select(col("src").as("u"), col("dst").as("b"))
+      .join(nn.select(col("x").as("b"), col("l1").as("g"),
+        col("l2").as("dl"), col("s")), "b")
+      .groupBy(col("u"), lb(col("b")).as("bl"), col("g"), col("dl"))
+      .agg(sum(col("s")).as("w"))
+    val c1 = w1
+      .join(nc.select(col("v").as("u"), col("l").as("bl"),
+        col("cnt").as("ncb")), Seq("u", "bl"), "left")
+      .join(nc.select(col("v").as("u"), col("l").as("dl"),
+        col("cnt").as("ncd")), Seq("u", "dl"), "left")
+      .join(nn.select(col("x").as("u"), col("l1").as("bl"),
+        col("l2").as("g"), col("s").as("nnbg")), Seq("u", "bl", "g"), "left")
+      .join(tno.select(col("v").as("u"), col("x").as("bl"),
+        col("y").as("g"), col("n").as("tbg")), Seq("u", "bl", "g"), "left")
+      .withColumn("lu", lb(col("u")))
+      .withColumn("cnt1", col("w")
+        - when(col("lu") === col("g"), z(col("ncb")) * z(col("ncd")))
+            .otherwise(0L)
+        - when(col("bl") === col("dl"), z(col("nnbg"))
+            - when(col("lu") === col("g"), z(col("ncb"))).otherwise(0L))
+            .otherwise(0L)
+        - when(col("lu") === col("dl"), z(col("tbg"))).otherwise(0L))
+    val dom1 = c1.filter(col("cnt1") > 0)
+      .groupBy(col("lu").as("l1"), col("bl").as("l2"), col("g").as("l3"),
+        col("dl").as("l4"))
+      .agg(count(lit(1)).as("n"))
+    // slot-2 counts M(b, α, γ, δ) = nc(b, α)·nn(b, γ, δ) minus
+    // {a = c} ∪ {a ≠ c, d = b} ∪ {a ≠ c, d ≠ b, a = d}
+    val c2 = nc.select(col("v").as("b"), col("l").as("al"),
+        col("cnt").as("nca"))
+      .join(nn.select(col("x").as("b"), col("l1").as("g"),
+        col("l2").as("dl"), col("s")), "b")
+      .join(nc.select(col("v").as("b"), col("l").as("g"),
+        col("cnt").as("ncg")), Seq("b", "g"), "left")
+      .join(tno.select(col("v").as("b"), col("x").as("g"),
+        col("y").as("al"), col("n").as("tga")), Seq("b", "g", "al"), "left")
+      .withColumn("lbv", lb(col("b")))
+      .withColumn("cnt2", col("nca") * col("s")
+        - when(col("al") === col("g"), col("s")).otherwise(0L)
+        - when(col("lbv") === col("dl"), col("nca") * z(col("ncg"))
+            - when(col("al") === col("g"), z(col("ncg"))).otherwise(0L))
+            .otherwise(0L)
+        - when(col("al") === col("dl"), z(col("tga"))).otherwise(0L))
+    val dom2 = c2.filter(col("cnt2") > 0)
+      .groupBy(col("al").as("l1"), col("lbv").as("l2"), col("g").as("l3"),
+        col("dl").as("l4"))
+      .agg(count(lit(1)).as("n"))
+    // support = min over the four slots; slots 3/4 are slots 2/1 of the
+    // reversed pattern. Canonical form: (l1,l2,l3,l4) ≤ reversed.
+    def rev(d: DataFrame, out: String) = d.select(col("l4").as("l1"),
+      col("l3").as("l2"), col("l2").as("l3"), col("l1").as("l4"),
+      col("n").as(out))
+    dom1.withColumnRenamed("n", "n1")
+      .join(dom2.withColumnRenamed("n", "n2"), Seq("l1", "l2", "l3", "l4"))
+      .join(rev(dom2, "n3"), Seq("l1", "l2", "l3", "l4"))
+      .join(rev(dom1, "n4"), Seq("l1", "l2", "l3", "l4"))
+      .filter(struct(col("l1"), col("l2"), col("l3"), col("l4")) <=
+        struct(col("l4"), col("l3"), col("l2"), col("l1")))
+      .select(col("l1"), col("l2"), col("l3"), col("l4"),
+        least(col("n1"), col("n2"), col("n3"), col("n4")).as("support"))
+      .filter(col("support") >= minSupport)
   }
 }

@@ -41,25 +41,45 @@ object PointsTo {
     org.apache.spark.sql.GraftPlanBridge.checkpointCapped(df)
 
 
-  /** One BSP round: (pts, copy) → (pts', copy'). */
-  private def round(pts: DataFrame, copy: DataFrame, loads: DataFrame,
-      stores: DataFrame): (DataFrame, DataFrame) = {
-    // Load q→p: every pointee o of q becomes a copy source into p
+  /** One SEMI-NAIVE round: new copy edges derive only from the pts
+    * DELTA (facts first seen last round), and propagation joins the
+    * delta against the full relation on each side — never full × full:
+    *
+    *   Δcopy_r = f(Δpts_{r-1}) − copy_{r-1}
+    *   prop    = copy_r ⋈ Δpts_{r-1}  ∪  Δcopy_r ⋈ pts_{r-1}
+    *   Δpts_r  = prop − pts_{r-1}
+    *
+    * Per-round sets are IDENTICAL to the naive form (f and the
+    * propagation are ∪-distributive, and every full×full term is
+    * already contained in the previous round's result — the standard
+    * semi-naive argument), so the fixed-round oracle is unchanged; the
+    * per-round work now shrinks with the frontier instead of
+    * re-deriving every prior fact.
+    * Returns (pts', Δpts', copy', Δcopy'). */
+  private def round(pts: DataFrame, dPts: DataFrame, copy: DataFrame,
+      loads: DataFrame, stores: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // Load q→p: every NEW pointee o of q becomes a copy source into p
     val fromLoads = loads
-      .join(pts.withColumnRenamed("var", "q"), "q")
+      .join(dPts.withColumnRenamed("var", "q"), "q")
       .select(col("obj").as("src"), col("p").as("dst"))
-    // Store q→p: q copies into every pointee o of p
+    // Store q→p: q copies into every NEW pointee o of p
     val fromStores = stores
-      .join(pts.withColumnRenamed("var", "p"), "p")
+      .join(dPts.withColumnRenamed("var", "p"), "p")
       .select(col("q").as("src"), col("obj").as("dst"))
-    val copy2 = copy.unionByName(fromLoads).unionByName(fromStores)
-      .distinct()
-    // propagate one step along ALL copy edges
+    val dCopy = fromLoads.unionByName(fromStores).distinct()
+      .join(copy, Seq("src", "dst"), "left_anti")
+    val copy2 = copy.unionByName(dCopy)
+    // propagate: full copy over the pts delta + the copy delta over the
+    // (previous) full pts — Δcopy ⋈ Δpts is covered by the first term
     val prop = copy2
-      .join(pts.withColumnRenamed("var", "src"), "src")
+      .join(dPts.withColumnRenamed("var", "src"), "src")
       .select(col("dst").as("var"), col("obj"))
-    val pts2 = pts.unionByName(prop).distinct()
-    (pts2, copy2)
+      .unionByName(dCopy
+        .join(pts.withColumnRenamed("var", "src"), "src")
+        .select(col("dst").as("var"), col("obj")))
+    val dPts2 = prop.distinct().join(pts, Seq("var", "obj"), "left_anti")
+    (pts.unionByName(dPts2), dPts2, copy2, dCopy)
   }
 
   /** Exactly `rounds` BSP rounds (the oracle shape): pts as (var, obj). */
@@ -67,36 +87,38 @@ object PointsTo {
       loads: DataFrame, stores: DataFrame, rounds: Int): DataFrame = {
     var pts = addressOf.select(col("var"), col("obj")).distinct()
       .transform(ck)
+    var dPts = pts // round 1: everything is new
     var copy = copies.select(col("src"), col("dst")).distinct()
       .transform(ck)
     for (_ <- 1 to rounds) {
-      val (p2, c2) = round(pts, copy, loads, stores)
+      val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
       pts = p2.transform(ck)
+      dPts = d2.transform(ck)
       copy = c2.transform(ck)
     }
     pts
   }
 
-  /** Iterate to the least fixpoint; convergence = neither relation grew.
-    * One count action per round (both counts in one agg each — the
-    * frames are already checkpointed, so the action is O(rows)). */
+  /** Iterate to the least fixpoint. Convergence = the pts DELTA is
+    * empty: with Δpts = ∅ the next round derives no copy edges and
+    * propagates nothing, and every completed copy⋈pts product is
+    * already ⊆ pts (the semi-naive invariant) — so one count action on
+    * the (shrinking) delta per round decides termination. */
   def solve(addressOf: DataFrame, copies: DataFrame, loads: DataFrame,
       stores: DataFrame, maxRounds: Int = 50): DataFrame = {
     var pts = addressOf.select(col("var"), col("obj")).distinct()
       .transform(ck)
+    var dPts = pts
     var copy = copies.select(col("src"), col("dst")).distinct()
       .transform(ck)
-    var nPts = pts.count()
-    var nCopy = copy.count()
     var it = 0
-    var grew = true
-    while (grew && it < maxRounds) {
-      val (p2raw, c2raw) = round(pts, copy, loads, stores)
-      val p2 = p2raw.transform(ck)
-      val c2 = c2raw.transform(ck)
-      val (n2, m2) = (p2.count(), c2.count())
-      grew = n2 > nPts || m2 > nCopy
-      pts = p2; copy = c2; nPts = n2; nCopy = m2
+    var frontier = dPts.count()
+    while (frontier > 0 && it < maxRounds) {
+      val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
+      pts = p2.transform(ck)
+      dPts = d2.transform(ck)
+      copy = c2.transform(ck)
+      frontier = dPts.count()
       it += 1
     }
     pts

@@ -473,9 +473,10 @@ class GraphAlgoSpec extends AnyFunSuite {
 
   test("3-motif census: closed forms on K5 and a path") {
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
-    val r1 = Mining.motif3(df(k5)).collect()(0)
+    val r1 = Mining.motif3(df(k5), Triangles.count(df(k5))).collect()(0)
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((30L, 10L, 0L)))
-    val r2 = Mining.motif3(df(Seq((0L, 1L), (1L, 2L), (2L, 3L)))).collect()(0)
+    val p3 = df(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val r2 = Mining.motif3(p3, Triangles.count(p3)).collect()(0)
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((2L, 0L, 2L)))
   }
 
@@ -716,6 +717,125 @@ class GraphAlgoSpec extends AnyFunSuite {
     val back = graft.sources.EdgeListCsv.readMtx(spark, path).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(back == Set((0L, 1L), (1L, 2L), (4L, 0L)))
+  }
+
+  // deterministic pseudo-random graph for the brute-force mining specs:
+  // 36 vertices so (v >> 3) % 4 labels actually vary, ~145 edges
+  private lazy val bruteEdges: Seq[(Long, Long)] =
+    for {
+      a <- 0L until 36L
+      b <- (a + 1) until 36L
+      if (a * 2654435761L + b * 40503L) % 97 < 22
+    } yield (a, b)
+  private lazy val bruteAdj: Map[Long, Set[Long]] = {
+    val sym = bruteEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty)
+  }
+
+  test("4-motif census equals a brute-force induced census and closed " +
+      "forms") {
+    // closed forms first: K5 has 15 four-cycles (3 per 4-subset) and 30
+    // edge-sharing triangle pairs (t_e = 3 per edge, C(3,2)·10)
+    val k5 = df(for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b))
+    assert(Mining.cycle4Count(k5) == 15L)
+    assert(Mining.diamondCount(k5) == 30L)
+    // brute-force induced census over all C(36,4) vertex subsets
+    var (path4, star4, cyc4, paw, dia, k4) = (0L, 0L, 0L, 0L, 0L, 0L)
+    val vs = (0L until 36L).toArray
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      k <- (j + 1) until vs.length; l <- (k + 1) until vs.length
+    } {
+      val q = Array(vs(i), vs(j), vs(k), vs(l))
+      val degs = q.map(v => q.count(u => u != v && bruteAdj(v)(u)))
+      val m = degs.sum / 2
+      m match {
+        case 6 => k4 += 1
+        case 5 => dia += 1
+        case 4 => if (degs.max == 3) paw += 1 else cyc4 += 1
+        case 3 =>
+          if (degs.max == 3) star4 += 1
+          else if (degs.min == 1) path4 += 1 // else triangle+isolated
+        case _ => // disconnected
+      }
+    }
+    val g = df(bruteEdges)
+    val row = Mining.motif4(g, Triangles.count(g),
+      Mining.kcliqueCount(g, 4), Mining.cycle4Count(g),
+      Mining.diamondCount(g), Triangles.perVertex(g)).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((path4, star4, cyc4, paw, dia, k4)),
+      s"engine ${row.toSeq} vs brute ($path4,$star4,$cyc4,$paw,$dia,$k4)")
+  }
+
+  test("FSM 3-edge tier: exact-MNI triangle and path supports equal " +
+      "full enumeration") {
+    def lab(v: Long): Long = (v >> 3) % 4
+    // brute triangle patterns
+    val triDoms = scala.collection.mutable
+      .Map.empty[((Long, Long, Long), Long), Set[Long]]
+    for {
+      a <- 0L until 36L; b <- (a + 1) until 36L if bruteAdj(a)(b)
+      c <- (b + 1) until 36L if bruteAdj(a)(c) && bruteAdj(b)(c)
+    } {
+      val ls = Seq(lab(a), lab(b), lab(c)).sorted
+      val key = (ls(0), ls(1), ls(2))
+      Seq(a, b, c).foreach { v =>
+        triDoms((key, lab(v))) =
+          triDoms.getOrElse((key, lab(v)), Set.empty[Long]) + v
+      }
+    }
+    val bruteTri = triDoms.groupBy(_._1._1).view
+      .mapValues(doms => doms.values.map(_.size.toLong).min).toMap
+    val gotTri = Mining.fsm3Triangle(df(bruteEdges), 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(gotTri == bruteTri)
+    // brute path patterns: all embeddings, canonical under reversal,
+    // per-slot distinct vertex sets
+    val slotSets = scala.collection.mutable
+      .Map.empty[(Long, Long, Long, Long), Array[Set[Long]]]
+    for {
+      a <- 0L until 36L; b <- bruteAdj(a); c <- bruteAdj(b)
+      if c != a
+      d <- bruteAdj(c) if d != b && d != a
+    } {
+      val t = (lab(a), lab(b), lab(c), lab(d))
+      val r = (lab(d), lab(c), lab(b), lab(a))
+      if (Seq(t._1, t._2, t._3, t._4).mkString(",") <=
+          Seq(r._1, r._2, r._3, r._4).mkString(",")) {
+        val s = slotSets.getOrElseUpdate(t, Array.fill(4)(Set.empty[Long]))
+        s(0) += a; s(1) += b; s(2) += c; s(3) += d
+      }
+    }
+    val brutePath = slotSets.view
+      .mapValues(_.map(_.size.toLong).min).toMap
+    val gotPath = Mining.fsm3Path(df(bruteEdges), 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    assert(gotPath == brutePath)
+  }
+
+  test("tieredCumSum plan never funnels through a single partition and " +
+      "equals the global running sum") {
+    import org.apache.spark.sql.functions.col
+    val e = df((1L to 200L).map(i => (i, (i % 7) + 1)))
+    val deg = GraphOps.degrees(e)
+      .select(col("id"), (col("outdeg") + col("indeg")).as("d"))
+    val (out, parts) = graft.plans.Ranking.tieredCumSumPlan(
+      deg, Seq(col("d").desc, col("id").asc), "d", "cum", 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"tiered-cumsum plan contains a single-partition exchange:\n$plan")
+    val got = out.select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val expected = deg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, d) => (-d, id) }
+      .map { case (id, d) => acc += d; id -> acc }.toMap
+    assert(got == expected)
+    parts.unpersist()
   }
 
   test("globalRank plan never funnels through a single partition") {

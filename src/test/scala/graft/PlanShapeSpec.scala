@@ -33,6 +33,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"batch sessionize still buffers per user:\n${plan.take(2000)}")
   }
 
+  test("bipart/kway never construct a global (single-partition) window") {
+    // bisect/kway eagerly checkpoint every round, so the scale-killing
+    // exchange would hide inside intermediate actions the final plan
+    // doesn't show. Two guards: (1) the tiered-cumsum building block is
+    // plan-asserted SinglePartition-free (GraphAlgoSpec), and (2) the
+    // operator source must not reintroduce an unpartitioned
+    // Window.orderBy — every window in Bipart.scala must be
+    // Window.partitionBy(...), the per-part form.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/operators/Bipart.scala")), "UTF-8")
+    assert(!src.contains("Window.orderBy"),
+      "Bipart.scala constructs a global Window.orderBy — use " +
+        "Ranking.tieredCumSum or Window.partitionBy instead")
+    // and the queries still execute with their invariants intact
+    val parts = SparkEntry.queries("bipart_2")(spark, dir)
+    assert(parts.groupBy("part").count().count() == 2)
+  }
+
   test("no driver query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
