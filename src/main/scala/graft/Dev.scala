@@ -106,6 +106,23 @@ object Dev {
         val fr = Boruvka.fixedRounds(edf, 5, 8).count()
         println(f"[mst] fixedRounds(5,8): $fr ${(System.nanoTime() - t0) / 1e9}%.1fs")
 
+      case "motif5solo" =>
+        import org.apache.spark.sql.functions._
+        val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val sampled = TpchGraph.edges(spark, sf).filter(
+          (shiftright(col("src"), 3) + lit(131L) * shiftright(col("dst"), 3))
+            % 8 === 0)
+        val arcs = GraphOps.symmetrize(GraphOps.clean(sampled))
+          .select(col("src").as("x"), col("dst").as("y"))
+          .localCheckpoint(true)
+        println(s"arcs=${arcs.count()}")
+        val k5 = (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a, b)).toSeq
+        var t0 = System.nanoTime()
+        println("homCount K5 = " + Motif5.homCount(5, k5, arcs) +
+          f" secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+        t0 = System.nanoTime()
+        println("homCount K5 again = " + Motif5.homCount(5, k5, arcs) +
+          f" secs=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "tpch" =>
         val t0 = System.nanoTime()
         val adj = Adjacency.build(TpchGraph.edges(spark, "/root/testdata/sf0.001"),

@@ -1338,6 +1338,80 @@ object Oracles {
        |SELECT id AS u, f0, f1, f2, f3 FROM $cu ORDER BY u""".stripMargin
   }
 
+  /** 21-pattern induced 5-motif census (motif.cpp k=5) over the 1-in-8
+    * hash-sampled fixture — an INDEPENDENT formulation from the
+    * engine's hom-algebra path: enumerate every connected 5-vertex
+    * subset by sorted-tuple growth (per-level DISTINCT keeps the
+    * frontier at the true connected-set count), read off the 10
+    * adjacency bits per subset, and classify by the (edge count,
+    * sorted degree sequence, triangle count) signature — a complete
+    * invariant over the 21 patterns, asserted in Motif5Spec. The
+    * sample filter mixes the slot bits (id // 8): both endpoints of
+    * every fixture edge share id % 8, so any arithmetic on the raw ids
+    * mod k would collapse to a per-class constant. */
+  lazy val motif5: String = {
+    import graft.operators.Motif5
+    def grow(k: Int): String = {
+      val prev = (1 until k).map(i => s"s$i")
+      val branches = prev.map { c =>
+        s"SELECT ${prev.map(p => s"t.$p").mkString(", ")}, a.y " +
+          s"FROM s${k - 1} t JOIN arcs a ON a.x = t.$c"
+      }.mkString("\n    UNION ALL ")
+      val cols = (1 to k).map(i => s"v[$i] AS s$i").mkString(", ")
+      s"""s$k AS MATERIALIZED (SELECT DISTINCT $cols FROM (
+         |  SELECT list_sort([${prev.mkString(", ")}, y]) AS v FROM (
+         |    $branches) g
+         |  WHERE ${prev.map(p => s"y <> $p").mkString(" AND ")}) q)"""
+        .stripMargin
+    }
+    val bits = Motif5.pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"CASE WHEN EXISTS (SELECT 1 FROM und w WHERE w.u = t.s${a + 1} " +
+        s"AND w.v = t.s${b + 1}) THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n    ")
+    val deg = (0 until 5).map { v =>
+      Motif5.pairs.zipWithIndex
+        .collect { case ((a, b), i) if a == v || b == v => s"b$i" }
+        .mkString(" + ")
+    }
+    val tri = (for {
+      a <- 0 until 5; b <- a + 1 until 5; c <- b + 1 until 5
+    } yield {
+      val i1 = Motif5.pairs.indexOf((a, b))
+      val i2 = Motif5.pairs.indexOf((a, c))
+      val i3 = Motif5.pairs.indexOf((b, c))
+      s"b$i1 * b$i2 * b$i3"
+    }).mkString(" + ")
+    val cols = Motif5.patterns.zip(Motif5.names).map { case (m, nm) =>
+      val (ec, ds, tc) = Motif5.signatureOf(m)
+      s"CAST(COALESCE(SUM(CASE WHEN ec = $ec AND ds = $ds AND tri = $tc " +
+        s"THEN 1 END), 0) AS BIGINT) AS $nm"
+    }.mkString(",\n  ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT src, dst FROM ($E) AS e0
+       |  WHERE ((src // 8) + 131 * (dst // 8)) % 8 = 0),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e),
+       |arcs AS MATERIALIZED (
+       |  SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und),
+       |s2 AS (SELECT u AS s1, v AS s2 FROM und),
+       |${grow(3)},
+       |${grow(4)},
+       |${grow(5)},
+       |b AS (SELECT
+       |    $bits
+       |  FROM s5 t),
+       |c AS (SELECT ${(0 until 10).map(i => s"b$i").mkString(" + ")} AS ec,
+       |  list_sort([${deg.mkString(", ")}]) AS dl,
+       |  $tri AS tri FROM b),
+       |d AS (SELECT ec,
+       |  dl[1] * 10000 + dl[2] * 1000 + dl[3] * 100 + dl[4] * 10 + dl[5]
+       |    AS ds, tri FROM c)
+       |SELECT
+       |  $cols
+       |FROM d""".stripMargin
+  }
+
   /** Convergence trace: (round, sse) with sse the S²-scaled squared
     * error BEFORE each round, plus the final state. */
   def mcSseTrace(rounds: Int): String = {
