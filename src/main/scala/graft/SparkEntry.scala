@@ -366,6 +366,18 @@ object SparkEntry {
     "motif_4" -> ((s, d) =>
       Mining.motif4(TpchGraph.edges(s, d), triCount(s, d), k4Count(s, d),
         c4Count(s, d), diaCount(s, d), triPerV(s, d))),
+    // fsm.cpp at arbitrary pattern size (pangolin edge_miner): the BFS
+    // edge-extension enumerator at k=4 edges over a 1-in-64 sampled
+    // fixture — embedding enumeration is Θ(Σ d^(k−1)) (pangolin's own
+    // cost class), so the driver fixture keeps the frontier bounded;
+    // the exact-MNI closed forms stay the k ≤ 3 web-scale path.
+    // Rows-only driver check (a frequent-pattern count is not one SQL
+    // query); correctness is spec'd against brute-force exact-MNI and
+    // the closed-form tiers (FsmEnumerateSpec).
+    "fsm_enum4_s4" -> ((s, d) => FsmEnumerate.levelCounts(
+      TpchGraph.edges(s, d).filter(
+        (shiftright(col("src"), 3) + lit(131L) * shiftright(col("dst"), 3))
+          % 64 === 0), maxEdges = 4, minSupport = 4)),
     // motif.cpp's largest size (k=5, 21 patterns) over a 1-in-8
     // hash-sampled fixture: the full sf0.1 fixture is 45%-dense inside
     // its 500-vertex classes (15.2M triangles, 172M 4-cliques), where
