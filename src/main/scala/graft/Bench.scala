@@ -262,17 +262,26 @@ object Bench {
     // r4's N=4 pushed the whole run past the driver's outer timeout,
     // which voids the artifact entirely and is strictly worse than a
     // noisier-but-recorded number.
+    //
+    // Levels are INTERLEAVED (rounds of n2, n8, n32), not blocked: the
+    // pass metric is the n2→n8 RATIO, and this host's co-tenant storms
+    // run for many minutes — under a blocked schedule one storm sits on
+    // exactly one level's whole block and poisons the ratio (measured
+    // eff 0.57 and 0.71 on storm-hit blocked runs vs 0.92 quiet, with
+    // the per-level load samples naming the storm each time), while an
+    // interleaved storm slows the levels of a round together and
+    // best-of-rounds recovers the ratio from the quieter round.
     var scaleEdges = 0L
-    def best(threads: Int): Double = {
-      sampleLoad(s"n${threads}_pre")
-      val eps = (1 to MeasureRounds).map { _ =>
-        val (e, r) = prThroughput(threads)
+    val rounds = (1 to MeasureRounds).map { r =>
+      Seq(2, 8, cpus).map { threads =>
+        sampleLoad(s"r${r}_n$threads")
+        val (e, eps) = prThroughput(threads)
         scaleEdges = e
-        r
-      }.max
-      sampleLoad(s"n${threads}_post")
-      eps
+        threads -> eps
+      }.toMap
     }
+    sampleLoad("scale_post")
+    def best(threads: Int): Double = rounds.map(_(threads)).max
     val eps2 = best(2)
     val eps8 = best(8)
     val eps32 = best(cpus)
