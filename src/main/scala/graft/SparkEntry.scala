@@ -363,9 +363,21 @@ object SparkEntry {
     }),
     "motif_3" -> ((s, d) =>
       Mining.motif3(TpchGraph.edges(s, d), triCount(s, d))),
-    "motif_4" -> ((s, d) =>
-      Mining.motif4(TpchGraph.edges(s, d), triCount(s, d), k4Count(s, d),
-        c4Count(s, d), diaCount(s, d), triPerV(s, d))),
+    "motif_4" -> ((s, d) => {
+      // in suite order kclique_4/motif_3 have already filled the k4/tri
+      // memos, so motif_4's real cost is the two INDEPENDENT sgl memo
+      // jobs (4-cycles, diamonds) — overlap exactly that pair (37s →
+      // ~max of the two). Wider concurrency is counterproductive: four
+      // cold full-width jobs measured 94s vs 47s sequential.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (t, k4) = (triCount(s, d), k4Count(s, d))
+      val (c4, dia) = (Future(c4Count(s, d)), Future(diaCount(s, d)))
+      Mining.motif4(TpchGraph.edges(s, d), t, k4,
+        Await.result(c4, Duration.Inf), Await.result(dia, Duration.Inf),
+        triPerV(s, d))
+    }),
     // fsm.cpp at arbitrary pattern size (pangolin edge_miner): the BFS
     // edge-extension enumerator at k=4 edges over a 1-in-64 sampled
     // fixture — embedding enumeration is Θ(Σ d^(k−1)) (pangolin's own

@@ -106,6 +106,13 @@ class FsmEnumerateSpec extends AnyFunSuite {
     checkFixture(20, 0.3, seed = 9L, maxEdges = 4, minSupport = 4L)
   }
 
+  test("degenerate input: empty graph yields zero frequent patterns") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val counts = FsmEnumerate.levelCounts(empty, 3, 1L, numLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("level-3 triangle and path patterns match the closed-form tiers") {
     val und = fixture(24, 0.25, seed = 13L)
     val df = und.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")

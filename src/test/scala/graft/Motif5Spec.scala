@@ -81,4 +81,13 @@ class Motif5Spec extends AnyFunSuite {
   test("census equals brute force on a sparse fixture") {
     checkFixture(40, 0.12, seed = 11L)
   }
+
+  test("degenerate inputs: empty and sub-5-vertex graphs count zero") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val row = Motif5.census(empty).first()
+    assert(Motif5.names.forall(nm => row.getAs[Long](nm) == 0L))
+    val k3 = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val row3 = Motif5.census(k3).first()
+    assert(Motif5.names.forall(nm => row3.getAs[Long](nm) == 0L))
+  }
 }
