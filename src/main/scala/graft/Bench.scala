@@ -136,7 +136,10 @@ object Bench {
   // rounds per level (was 4), 1 convergence run (was best-of-2), 5-min
   // global settle budget (was 8).
   private val Loops = envInt("GRAFT_BENCH_LOOPS", 2)
-  private val MeasureRounds = envInt("GRAFT_BENCH_ROUNDS", 2)
+  // 3 interleaved rounds ~= 29 min total on this host — inside the
+  // driver budget (r3's 40-min run recorded fine) with one more chance
+  // per level to land a quiet window for BOTH n2 and n8
+  private val MeasureRounds = envInt("GRAFT_BENCH_ROUNDS", 3)
   private val ConvRuns = envInt("GRAFT_BENCH_CONV_RUNS", 1)
 
   /** Host 1-min load average — recorded per phase in the artifact so a
@@ -209,12 +212,8 @@ object Bench {
   }
 
   /** One isolated throughput measurement: (edges, best edges/sec/iter).
-    * The quiet gate waits for the 1-min load to drop below 3.5 (bounded):
-    * background co-tenant bursts slow an 8-thread run proportionally more
-    * than a 2-thread one, biasing the scaling RATIO downward — starting
-    * runs in observed-quiet windows attacks exactly that asymmetry. */
+    * The caller settles (quiet gate) and samples the load first. */
   private def prThroughput(threads: Int): (Long, Double) = {
-    settle(maxLoad = 3.5, maxWaitMs = 150000)
     val out = child("graft.BenchWorker",
       Seq(threads.toString, AdjPath, ScaleIters.toString, Loops.toString))
     val line = out.linesIterator.find(_.startsWith("GRAFT_RESULT"))
@@ -274,6 +273,14 @@ object Bench {
     var scaleEdges = 0L
     val rounds = (1 to MeasureRounds).map { r =>
       Seq(2, 8, cpus).map { threads =>
+        // quiet gate FIRST (bounded): co-tenant bursts slow an 8-thread
+        // run proportionally more than a 2-thread one, biasing the
+        // scaling RATIO; the load sample is taken AFTER the gate so the
+        // artifact records what the child actually started under (the
+        // pre-gate sample mostly re-measured our own previous child's
+        // decaying 1-min average — r5 runs logged 14-21 before n2
+        // children that then started on a drained box).
+        settle(maxLoad = 3.5, maxWaitMs = 150000)
         sampleLoad(s"r${r}_n$threads")
         val (e, eps) = prThroughput(threads)
         scaleEdges = e
