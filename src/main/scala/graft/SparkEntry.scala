@@ -30,7 +30,7 @@ object SparkEntry {
       Adjacency.build(TpchGraph.edges(s, dir)))
   private def adjSym(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "sym"),
-      Adjacency.build(GraphOps.symmetrize(TpchGraph.edges(s, dir))))
+      Adjacency.build(symE(s, dir)))
   private def adjWeighted(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "wdir"),
       Adjacency.buildWeighted(TpchGraph.weightedEdges(s, dir)))
@@ -45,6 +45,34 @@ object SparkEntry {
     dfCache.getOrElseUpdate(key(s, d, "cc"),
       ConnectedComponents.run(adjSym(s, d)).components)
 
+  // Shared building-block frames for the triangle-derived mining tier
+  // (guide §2.4 — remove repeated passes): the symmetrized edge set, its
+  // degree table, the degree orientation, the sorted out-lists and THE
+  // triangle listing are each computed once per (session, dir) and
+  // consumed by every query that needs them (triangles, tri_per_vertex,
+  // kclique_4/5, sgl_diamond, motif_3/4, fsm3_tri, fsm3_path, ktruss_4,
+  // kcore_8, mis_3, louvain_*, leiden_*, fsm_edge/wedge, graph
+  // converters). Before round 6 the suite re-ran symmetrize ~15x and the
+  // O(Σ outdeg²) triangle wedge-join FIVE times per bench pass. All
+  // memos are per-JVM and recomputed from the parquet inputs on first
+  // use — nothing persists across processes.
+  private def symE(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "syme"),
+      GraphOps.symmetrize(TpchGraph.edges(s, d)).localCheckpoint(true))
+  private def symDeg(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "symdeg"),
+      Triangles.symDegrees(symE(s, d)).localCheckpoint(true))
+  private def orientedE(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "oriented"),
+      Triangles.orientFromSym(symE(s, d), symDeg(s, d))
+        .localCheckpoint(true))
+  private def olistE(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "olist"),
+      Mining.outLists(orientedE(s, d)).localCheckpoint(true))
+  private def triListE(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "trilist"),
+      Triangles.listing(orientedE(s, d)).localCheckpoint(true))
+
   // Scalar memos for the heavy mining counts: triangles/motif_3/motif_4
   // share one 2-join enumeration, kclique_4/motif_4 one candidate-set
   // cascade, sgl_cycle/sgl_diamond/motif_4 one wedge pass and one
@@ -53,20 +81,48 @@ object SparkEntry {
   private val scalarCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private def triCount(s: SparkSession, d: String): Long =
-    scalarCache.getOrElseUpdate(key(s, d, "tri"),
-      Triangles.count(TpchGraph.edges(s, d)))
+    scalarCache.getOrElseUpdate(key(s, d, "tri"), triListE(s, d).count())
   private def k4Count(s: SparkSession, d: String): Long =
     scalarCache.getOrElseUpdate(key(s, d, "k4"),
-      Mining.kcliqueCount(TpchGraph.edges(s, d), 4))
+      Mining.kcliqueCountOriented(orientedE(s, d), 4, Some(olistE(s, d))))
   private def c4Count(s: SparkSession, d: String): Long =
     scalarCache.getOrElseUpdate(key(s, d, "c4"),
-      Mining.cycle4Count(TpchGraph.edges(s, d)))
+      Mining.cycle4CountFrom(symE(s, d), symDeg(s, d)))
   private def diaCount(s: SparkSession, d: String): Long =
     scalarCache.getOrElseUpdate(key(s, d, "dia"),
-      Mining.diamondCount(TpchGraph.edges(s, d)))
+      Mining.diamondCountFrom(triListE(s, d)))
   private def triPerV(s: SparkSession, d: String): DataFrame =
     dfCache.getOrElseUpdate(key(s, d, "tripv"),
-      Triangles.perVertex(TpchGraph.edges(s, d)).localCheckpoint(true))
+      Triangles.perVertexFrom(triListE(s, d),
+        GraphOps.vertices(TpchGraph.edges(s, d))).localCheckpoint(true))
+
+  // Community-detection shared states: leiden_2x2/leiden_2level run the
+  // SAME (move 2, refine 2) level-1 pipeline, louvain_2level the same
+  // 2-round local move, and louvain_3 is that state plus one round —
+  // one computation each per (session, dir).
+  private def w1E(s: SparkSession, d: String): DataFrame =
+    symE(s, d).select(col("src"), col("dst"), lit(1L).as("w"))
+  private def louvComm2(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "louv2"),
+      Louvain.localMoveRoundsWeighted(w1E(s, d), 2).localCheckpoint(true))
+  private def leidenSubM(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "leidsub"),
+      Leiden.refineWeighted(w1E(s, d), louvComm2(s, d), 2)
+        .localCheckpoint(true))
+
+  // dedup_minhash and dedup_survivors consume the same LSH pair set;
+  // mc_sgd3_users and mc_sgd3_sse the same 3-round factor run.
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "lsh84"),
+      Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
+        threshold = 0.5).localCheckpoint(true))
+  private val mcCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Seq[Long])]
+  private def mcRun(s: SparkSession, d: String): (DataFrame, Seq[Long]) =
+    mcCache.getOrElseUpdate(key(s, d, "mc3"), {
+      val (uf, _, sse) = MatrixCompletion.run(TpchGraph.ratings(s, d), 3)
+      (uf.localCheckpoint(true), sse)
+    })
 
   /** 1-in-8 deterministically hash-sampled edge fixture for the 5-motif
     * census (see the `motif_5` entry for why the full fixture is out of
@@ -84,10 +140,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 ingest / convert surface (gr2* tools)
     "graph_edges" -> ((s, d) => TpchGraph.edges(s, d).orderBy("src", "dst")),
-    "graph_symmetrize" -> ((s, d) =>
-      GraphOps.symmetrize(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+    "graph_symmetrize" -> ((s, d) => symE(s, d).orderBy("src", "dst")),
+    // orientUpper(e) ≡ symmetrize(e).filter(src < dst) — ride the memo
     "graph_orient" -> ((s, d) =>
-      GraphOps.orientUpper(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+      symE(s, d).filter(col("src") < col("dst")).orderBy("src", "dst")),
     "graph_transpose" -> ((s, d) =>
       GraphOps.transpose(TpchGraph.edges(s, d)).orderBy("src", "dst")),
     "graph_degrees" -> ((s, d) =>
@@ -143,20 +199,21 @@ object SparkEntry {
     }),
     // k-core peel over the symmetric graph (SURVEY §2.6), 10 fixed rounds
     "kcore_8" -> ((s, d) =>
-      KCore.fixedRounds(GraphOps.symmetrize(TpchGraph.edges(s, d)), 8, 10)
-        .orderBy("id")),
+      KCore.fixedRounds(symE(s, d), 8, 10).orderBy("id")),
     // deterministic Luby maximal-independent-set rounds (SURVEY §2.6)
     "mis_3" -> ((s, d) =>
-      IndependentSet
-        .fixedRounds(GraphOps.symmetrize(TpchGraph.edges(s, d)), 3)
-        .orderBy("id")),
-    // k-truss support peel (SURVEY §2.6), 2 fixed rounds at trussNum 4
+      IndependentSet.fixedRounds(symE(s, d), 3).orderBy("id")),
+    // k-truss support peel (SURVEY §2.6), 2 fixed rounds at trussNum 4,
+    // sharing the suite's one orientation + triangle listing
     "ktruss_4" -> ((s, d) =>
-      KTruss.fixedRounds(TpchGraph.edges(s, d), 4, 2)
+      KTruss.fixedRounds(TpchGraph.edges(s, d), 4, 2,
+        Some((orientedE(s, d), triListE(s, d))))
         .orderBy("src", "dst")),
     // deterministic greedy maximal matching (SURVEY §2.6), 3 rounds
     "matching_3" -> ((s, d) =>
-      Matching.fixedRounds(TpchGraph.edges(s, d), 3).orderBy("src", "dst")),
+      Matching.fixedRoundsOriented(
+        symE(s, d).filter(col("src") < col("dst")), 3)
+        .orderBy("src", "dst")),
     // weighted SSSP / Bellman-Ford rounds (SURVEY §2.6), synthetic weights
     "sssp_4" -> ((s, d) => {
       val adj = adjDir(s, d)
@@ -214,8 +271,7 @@ object SparkEntry {
     "graph_from_metis" -> ((s, d) => {
       val path = s"/root/repo/target/graft-metis/d" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats
-        .writeMetis(GraphOps.symmetrize(TpchGraph.edges(s, d)), path)
+      graft.sources.TextFormats.writeMetis(symE(s, d), path)
       graft.sources.TextFormats.readMetis(s, path).orderBy("src", "dst")
     }),
     // positional token-stream converters: PBBS AdjacencyGraph round trip
@@ -254,9 +310,12 @@ object SparkEntry {
     // weighted undirected fixture: 2 component-min-edge pick + contract
     // rounds, 12 pointer jumps per contraction (2^12 > any driver
     // component count, so contraction is complete)
+    // weightedUndirected(e) ≡ attachWeights(orientUpper(e)) — ride the
+    // symmetrize memo for the upper orientation
     "mst_2" -> ((s, d) =>
-      Boruvka.fixedRounds(TpchGraph.weightedUndirected(s, d), 2, 12)
-        .orderBy("src", "dst")),
+      Boruvka.fixedRounds(
+        GraphOps.attachWeights(symE(s, d).filter(col("src") < col("dst"))),
+        2, 12).orderBy("src", "dst")),
     // Brandes betweenness (SURVEY §2.6): 4 smallest ids as sources,
     // 6-level BFS horizon, bc scaled to int64 nano-units
     "betweenness_4x6" -> ((s, d) => {
@@ -303,12 +362,20 @@ object SparkEntry {
         min("rank_n").as("min_rank_n"),
         sum("rank_n").cast("long").as("sum_rank_n"))),
     "graph_stats" -> ((s, d) => {
+      // two driver actions instead of four: (nV, nE) from one pass over
+      // the exploded endpoints (2E rows, so nE = rows/2), and
+      // (maxD, argmin id) as one struct-max aggregate (max degree, then
+      // min vertex via the negated id — same values as the former
+      // max-then-filter-min pair of jobs)
       val e = TpchGraph.edges(s, d)
-      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      val maxD = deg.agg(max("d")).first().getLong(0)
-      val maxV = deg.filter(col("d") === maxD).agg(min("src")).first().getLong(0)
+      val r1 = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .agg(countDistinct(col("id")), count(lit(1))).first()
+      val (nv, ne) = (r1.getLong(0), r1.getLong(1) / 2)
+      val st = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(max(struct(col("d"), (-col("src")).as("ns")))).first()
+        .getStruct(0)
       import s.implicits._
-      Seq((GraphOps.vertices(e).count(), e.count(), maxD, maxV))
+      Seq((nv, ne, st.getLong(0), -st.getLong(1)))
         .toDF("n_vertices", "n_edges", "max_outdeg", "max_outdeg_vertex")
     }),
 
@@ -320,24 +387,27 @@ object SparkEntry {
     // Louvain-style local-move clustering over the symmetric graph
     // (stretch surface; reference clustering/louvainClustering.cpp):
     // 3 synchronous integer-gain rounds with the merge-down rule
+    // louvain_3 = one more synchronous round on top of the suite-shared
+    // round-2 state (identical by construction: moveRounds is a fold
+    // over rounds, and round 3 keeps its odd parity via startRound)
     "louvain_3" -> ((s, d) =>
-      Louvain.localMoveRounds(
-        GraphOps.symmetrize(TpchGraph.edges(s, d)), 3).orderBy("id")),
+      Louvain.moveRounds(w1E(s, d), w1E(s, d), 3,
+        louvComm2(s, d).withColumnRenamed("community", "c"),
+        startRound = 3).orderBy("id")),
     // full multi-level shape: 2 local-move rounds, aggregate into the
-    // weighted community graph, 2 rounds there, project back
+    // weighted community graph, 2 rounds there, project back — the
+    // level-1 state is the shared round-2 memo
     "louvain_2level" -> ((s, d) =>
-      Louvain.twoLevel(
-        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2).orderBy("id")),
+      Louvain.twoLevelFrom(w1E(s, d), louvComm2(s, d), 2).orderBy("id")),
     // Leiden (leidenClustering.cpp): local-move + singleton-restart
     // refinement constrained to intra-community edges, and — in the
     // 2-level form — aggregation on the REFINED partition seeded from
-    // the parent communities
-    "leiden_2x2" -> ((s, d) =>
-      Leiden.oneLevel(
-        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2).orderBy("id")),
+    // the parent communities. leiden_2x2 IS the shared (move 2, refine
+    // 2) state; leiden_2level adds only the coarse level on top.
+    "leiden_2x2" -> ((s, d) => leidenSubM(s, d).orderBy("id")),
     "leiden_2level" -> ((s, d) =>
-      Leiden.twoLevel(
-        GraphOps.symmetrize(TpchGraph.edges(s, d)), 2, 2, 2).orderBy("id")),
+      Leiden.twoLevelFrom(w1E(s, d), louvComm2(s, d), leidenSubM(s, d), 2)
+        .orderBy("id")),
 
     // §2.4 label propagation (directed, fixed rounds)
     "lpa_min4" -> ((s, d) =>
@@ -359,10 +429,11 @@ object SparkEntry {
     }),
     "kclique_5" -> ((s, d) => {
       import s.implicits._
-      Seq(Mining.kcliqueCount(TpchGraph.edges(s, d), 5)).toDF("cliques")
+      Seq(Mining.kcliqueCountOriented(orientedE(s, d), 5,
+        Some(olistE(s, d)))).toDF("cliques")
     }),
     "motif_3" -> ((s, d) =>
-      Mining.motif3(TpchGraph.edges(s, d), triCount(s, d))),
+      Mining.motif3From(symDeg(s, d), triCount(s, d))),
     "motif_4" -> ((s, d) => {
       // in suite order kclique_4/motif_3 have already filled the k4/tri
       // memos, so motif_4's real cost is the two INDEPENDENT sgl memo
@@ -374,7 +445,7 @@ object SparkEntry {
       import scala.concurrent.ExecutionContext.Implicits.global
       val (t, k4) = (triCount(s, d), k4Count(s, d))
       val (c4, dia) = (Future(c4Count(s, d)), Future(diaCount(s, d)))
-      Mining.motif4(TpchGraph.edges(s, d), t, k4,
+      Mining.motif4From(symE(s, d), symDeg(s, d), t, k4,
         Await.result(c4, Duration.Inf), Await.result(dia, Duration.Inf),
         triPerV(s, d))
     }),
@@ -415,26 +486,30 @@ object SparkEntry {
     // and wedge patterns over id%4 vertex labels — domains by O(E)
     // aggregates, no embedding enumeration
     "fsm_edge_s50" -> ((s, d) =>
-      Mining.fsmEdge(TpchGraph.edges(s, d), 50L).orderBy("l1", "l2")),
+      Mining.fsmEdgeFrom(symE(s, d), 50L).orderBy("l1", "l2")),
     "fsm_wedge_s50" -> ((s, d) =>
-      Mining.fsmWedge(TpchGraph.edges(s, d), 50L)
+      Mining.fsmWedgeFrom(symE(s, d), 50L)
         .orderBy("lc", "l1", "l2")),
     // FSM 3-edge tier (fsm.cpp -k=3): triangle and path patterns over
     // (id/8)%4 labels (id%4 is monochromatic along every fixture edge —
     // see Mining.lab3) — exact MNI, still zero embedding enumeration
     "fsm3_tri_s50" -> ((s, d) =>
-      Mining.fsm3Triangle(TpchGraph.edges(s, d), 50L)
+      Mining.fsm3TriangleFrom(triListE(s, d), 50L)
         .orderBy("l1", "l2", "l3")),
     "fsm3_path_s50" -> ((s, d) =>
-      Mining.fsm3Path(TpchGraph.edges(s, d), 50L)
+      Mining.fsm3PathFrom(symE(s, d), triListE(s, d), 50L)
         .orderBy("l1", "l2", "l3", "l4")),
     // §2.6 matrix completion (matrixCompletion.cpp): alternating
     // full-batch fixed-point gradient rounds over the bipartite
     // customer×part ratings table — factors + the SSE convergence trace
     "mc_sgd3_users" -> ((s, d) =>
-      MatrixCompletion.userFactors(TpchGraph.ratings(s, d), 3).orderBy("u")),
-    "mc_sgd3_sse" -> ((s, d) =>
-      MatrixCompletion.sseTrace(TpchGraph.ratings(s, d), 3)),
+      mcRun(s, d)._1.withColumnRenamed("id", "u").orderBy("u")),
+    "mc_sgd3_sse" -> ((s, d) => {
+      import s.implicits._
+      mcRun(s, d)._2.zipWithIndex
+        .map { case (sse, t) => (t.toLong + 1L, sse) }
+        .toDF("round", "sse")
+    }),
     // §2.6 max-flow (Preflowpush.cpp) as lock-step push-relabel
     // supersteps; s = min vertex, t = max vertex of s's mod-8 class
     "preflow_8" -> ((s, d) => {
@@ -453,13 +528,14 @@ object SparkEntry {
     // matching-contraction coarsening, balanced prefix split, projected
     // gain refinement
     "bipart_2" -> ((s, d) =>
-      Bipart.bisect(TpchGraph.edges(s, d), coarsenLevels = 1,
-        matchRounds = 2, refineRounds = 2).orderBy("id")),
+      Bipart.bisectUpper(symE(s, d).filter(col("src") < col("dst")),
+        coarsenLevels = 1, matchRounds = 2, refineRounds = 2)
+        .orderBy("id")),
     // GMetis k-way analog: simultaneous recursive bisection, every part
     // split at once with per-part windows/slacks
     "kway_4" -> ((s, d) =>
-      Bipart.kway(TpchGraph.edges(s, d), depth = 2,
-        matchRounds = 2, refineRounds = 2).orderBy("id")),
+      Bipart.kwayUpper(symE(s, d).filter(col("src") < col("dst")),
+        depth = 2, matchRounds = 2, refineRounds = 2).orderBy("id")),
     "pta_sizes6" -> ((s, d) => {
       val (a, c, l, st) = TpchGraph.ptaConstraints(s, d)
       PointsTo.sizes(PointsTo.fixedRounds(a, c, l, st, 6))
@@ -480,17 +556,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keep_id")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), 0.5).orderBy("a", "b")),
-    "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
-        threshold = 0.5).orderBy("a", "b")),
+    "dedup_minhash" -> ((s, d) => lshPairs(s, d).orderBy("a", "b")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), 3).orderBy("a", "b")),
     // the dedup pipeline's actual OUTPUT: near-dup pairs collapsed into
     // survivor groups (min-label components over the pair graph)
     "dedup_survivors" -> ((s, d) =>
-      Dedup.survivorsFixed(docs(s, d),
-        Dedup.minhashLshPairs(docs(s, d), numHashes = 8, bands = 4,
-          threshold = 0.5), 8).orderBy("doc_id")),
+      Dedup.survivorsFixed(docs(s, d), lshPairs(s, d), 8)
+        .orderBy("doc_id")),
 
     // training-data pipeline: similarity search. The quadratic
     // crossJoin near-dup (Dedup.embeddingNearDup) is TEST-ORACLE-ONLY:

@@ -85,11 +85,15 @@ object Betweenness {
         .agg(sum(col("c")).as("delta"))
         .localCheckpoint(true)
       delta = lvl
+      // LAZY fold: every lvl frame is already checkpointed, so chaining
+      // the per-level union + grouped sum costs nothing until the final
+      // action — the old per-level eager materialization paid one
+      // shuffle + checkpoint per level for a frame consumed only once,
+      // at the end. Same aggregate, L−1 fewer jobs.
       bcAcc = bcAcc
         .unionAll(lvl.filter(col("id") =!= col("q"))
           .select(col("id"), col("delta").as("bc")))
         .groupBy("id").agg(sum(col("bc")).as("bc"))
-        .localCheckpoint(true)
     }
     adj.vertices
       .join(bcAcc, Seq("id"), "left")

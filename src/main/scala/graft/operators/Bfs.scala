@@ -21,18 +21,36 @@ import org.apache.spark.sql.functions._
 object Bfs {
 
   /** Exactly k rounds (the SQL-oracle kernel): every vertex within k hops
-    * of `source`, with its hop distance. */
+    * of `source`, with its hop distance.
+    *
+    * Scatter runs from the FRONTIER (dist = r−1) only, not the whole
+    * reached set: a vertex reached at round d holds its final distance
+    * (unit weights), so re-scattering it at a later round can only
+    * produce candidates ≥ its neighbors' existing labels — the min-fold
+    * drops them all. Identical state per round, O(frontier·deg) work
+    * instead of O(reached·deg). Rounds after the frontier empties are
+    * no-ops, so the loop exits early (the observe on the materializing
+    * pass counts next-round frontier rows — no extra scan); the result
+    * still equals the full k-round unroll the SQL oracle runs. */
   def fixedRounds(adj: Adjacency, source: Long, k: Int): DataFrame = {
     val spark = adj.blocks.sparkSession
     import spark.implicits._
     var state = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val frontier = state.filter(col("dist") === r - 1)
       val scatter = adj.blocks
-        .join(state, adj.blocks("src") === state("id"))
+        .join(frontier, adj.blocks("src") === frontier("id"))
         .select(explode(col("dsts")).as("id"), (col("dist") + 1).as("dist"))
+      val obs = org.apache.spark.sql.Observation(s"bfs_fr_$r")
       state = state.unionAll(scatter)
         .groupBy("id").agg(min(col("dist")).as("dist"))
+        .observe(obs, sum(when(col("dist") === r, 1L).otherwise(0L)).as("n"))
         .localCheckpoint(true)
+      exhausted = (obs.get.get("n") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }) == 0L
     }
     state
   }

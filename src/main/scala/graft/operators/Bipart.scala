@@ -50,7 +50,8 @@ object Bipart {
     * weights: (contracted edges, contracted vertex weights, id→rep). */
   def coarsenLevel(edges: DataFrame, vw: DataFrame, matchRounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val matched = Matching.fixedRounds(edges.select("src", "dst"),
+    // `edges` is upper-canonical by construction — skip re-orientation
+    val matched = Matching.fixedRoundsOriented(edges.select("src", "dst"),
       matchRounds).localCheckpoint(true)
     val map = vw.select(col("id"))
       .join(matched.select(col("dst").as("id"), col("src").as("rep")),
@@ -145,8 +146,16 @@ object Bipart {
     * directed edge table (symmetrized + upper-oriented internally):
     * (id, part ∈ {0,1}). */
   def bisect(edges: DataFrame, coarsenLevels: Int = 1,
+      matchRounds: Int = 2, refineRounds: Int = 2): DataFrame =
+    bisectUpper(GraphOps.orientUpper(edges), coarsenLevels, matchRounds,
+      refineRounds)
+
+  /** [[bisect]] over an ALREADY upper-canonical edge set (src < dst, one
+    * row per undirected edge) — callers holding the symmetrized memo
+    * skip the symmetrize+dedup exchange. */
+  def bisectUpper(upper: DataFrame, coarsenLevels: Int = 1,
       matchRounds: Int = 2, refineRounds: Int = 2): DataFrame = {
-    var cur = GraphOps.orientUpper(edges)
+    var cur = upper
       .select(col("src"), col("dst"), lit(1L).as("w"))
       .localCheckpoint(true)
     var vw = GraphOps.vertices(cur).distinct()
@@ -186,8 +195,14 @@ object Bipart {
     * shaped where a driver loop over parts would not be. Parts are
     * labeled by bit-append: part' = part·2 + side. */
   def kway(edges: DataFrame, depth: Int, matchRounds: Int = 2,
+      refineRounds: Int = 2): DataFrame =
+    kwayUpper(GraphOps.orientUpper(edges), depth, matchRounds,
+      refineRounds)
+
+  /** [[kway]] over an already upper-canonical edge set. */
+  def kwayUpper(upper: DataFrame, depth: Int, matchRounds: Int = 2,
       refineRounds: Int = 2): DataFrame = {
-    val canon = GraphOps.orientUpper(edges)
+    val canon = upper
       .select(col("src"), col("dst"), lit(1L).as("w"))
       .localCheckpoint(true)
     val vw0 = GraphOps.vertices(canon).distinct()
@@ -213,7 +228,8 @@ object Bipart {
       .localCheckpoint(true)
     // one coarsening level; matches never cross parts (their edges were
     // filtered out), so reps stay inside their part
-    val matched = Matching.fixedRounds(pe.select("src", "dst"), matchRounds)
+    val matched = Matching
+      .fixedRoundsOriented(pe.select("src", "dst"), matchRounds)
       .localCheckpoint(true)
     val map = parts
       .join(matched.select(col("dst").as("id"), col("src").as("rep")),

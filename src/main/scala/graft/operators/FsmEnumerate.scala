@@ -164,65 +164,82 @@ object FsmEnumerate {
     var frames: Map[Shape, DataFrame] =
       Map(e1 -> arcs.select(col("x").as("v0"), col("y").as("v1")))
     val out = Vector.newBuilder[(Int, Vector[Pattern])]
-    for (level <- 1 to maxEdges) {
-      if (level > 1) {
-        val children = frames.keys.toVector.flatMap(childrenOf).distinct
-        frames = children.flatMap { c =>
-          val built = routesFor(c).flatMap { r =>
-            frames.get(r.parent).map { pf =>
-              val mapped = pf.select(
-                (0 until r.parent.m).map(p =>
-                  col(s"v$p").as(s"v${r.phi(p)}")): _*)
-              val withEdge = r.newPos match {
-                case Some(nv) =>
-                  val attach =
-                    if (r.newEdge._1 == nv) r.newEdge._2 else r.newEdge._1
-                  val grown = mapped.join(
-                    arcs.select(col("x").as(s"v$attach"),
-                      col("y").as(s"v$nv")), s"v$attach")
-                  (0 until c.m).filterNot(_ == nv).foldLeft(grown) {
-                    (df, i) => df.filter(col(s"v$i") =!= col(s"v$nv"))
-                  }
-                case None =>
-                  mapped.join(
-                    arcs.select(col("x").as(s"v${r.newEdge._1}"),
-                      col("y").as(s"v${r.newEdge._2}")),
-                    Seq(s"v${r.newEdge._1}", s"v${r.newEdge._2}"))
+    // Per-shape frame builds and support aggregates are independent
+    // Spark jobs; their eager materializations (localCheckpoint /
+    // collect) used to serialize behind one driver thread, leaving the
+    // executors idle between jobs. A small bounded pool overlaps them
+    // (guide §2.6 — submit independent jobs from a thread pool so the
+    // next job back-fills the current one's task tail).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      for (level <- 1 to maxEdges) {
+        if (level > 1) {
+          val parents = frames
+          val children = parents.keys.toVector.flatMap(childrenOf).distinct
+          frames = Await.result(Future.sequence(children.map { c => Future {
+            val built = routesFor(c).flatMap { r =>
+              parents.get(r.parent).map { pf =>
+                val mapped = pf.select(
+                  (0 until r.parent.m).map(p =>
+                    col(s"v$p").as(s"v${r.phi(p)}")): _*)
+                val withEdge = r.newPos match {
+                  case Some(nv) =>
+                    val attach =
+                      if (r.newEdge._1 == nv) r.newEdge._2 else r.newEdge._1
+                    val grown = mapped.join(
+                      arcs.select(col("x").as(s"v$attach"),
+                        col("y").as(s"v$nv")), s"v$attach")
+                    (0 until c.m).filterNot(_ == nv).foldLeft(grown) {
+                      (df, i) => df.filter(col(s"v$i") =!= col(s"v$nv"))
+                    }
+                  case None =>
+                    mapped.join(
+                      arcs.select(col("x").as(s"v${r.newEdge._1}"),
+                        col("y").as(s"v${r.newEdge._2}")),
+                      Seq(s"v${r.newEdge._1}", s"v${r.newEdge._2}"))
+                }
+                withEdge.select((0 until c.m).map(i => col(s"v$i")): _*)
               }
-              withEdge.select((0 until c.m).map(i => col(s"v$i")): _*)
             }
-          }
-          if (built.isEmpty) None
-          else Some(c -> built.reduce(_ unionByName _).distinct()
-            .localCheckpoint(true))
-        }.toMap
-      }
-      // MNI support per labeled pattern: all automorphic orderings are
-      // in the frame, so per-position distinct counts are the exact
-      // domain sizes
-      val freqKeys: Map[Shape, Vector[Long]] = frames.map { case (shp, df) =>
-        val sup = df.groupBy(labKey(shp.m).as("lk"))
-          .agg(least((0 until shp.m).map(i =>
-            countDistinct(col(s"v$i"))): _*).as("support"))
-          .filter(col("support") >= minSupport)
-          .select("lk").collect().map(_.getLong(0)).toVector
-        shp -> sup
-      }
-      // anti-monotone prune: only embeddings of frequent patterns extend
-      frames = frames.flatMap { case (shp, df) =>
-        val keys = freqKeys(shp)
-        if (keys.isEmpty) None
-        else Some(shp -> df.filter(labKey(shp.m).isin(keys: _*)))
-      }
-      val pats = freqKeys.toVector.flatMap { case (shp, keys) =>
-        keys.map { lk =>
-          val labels = Vector.tabulate(shp.m)(i =>
-            (lk / math.pow(numLabels, i).toLong % numLabels).toInt)
-          canonPattern(shp, labels)
+            if (built.isEmpty) None
+            else Some(c -> built.reduce(_ unionByName _).distinct()
+              .localCheckpoint(true))
+          }}), Duration.Inf).flatten.toMap
         }
-      }.distinct
-      out += level -> pats
-    }
+        // MNI support per labeled pattern: all automorphic orderings are
+        // in the frame, so per-position distinct counts are the exact
+        // domain sizes
+        val freqKeys: Map[Shape, Vector[Long]] =
+          Await.result(Future.sequence(frames.toVector.map {
+            case (shp, df) => Future {
+              val sup = df.groupBy(labKey(shp.m).as("lk"))
+                .agg(least((0 until shp.m).map(i =>
+                  countDistinct(col(s"v$i"))): _*).as("support"))
+                .filter(col("support") >= minSupport)
+                .select("lk").collect().map(_.getLong(0)).toVector
+              shp -> sup
+            }
+          }), Duration.Inf).toMap
+        // anti-monotone prune: only embeddings of frequent patterns extend
+        frames = frames.flatMap { case (shp, df) =>
+          val keys = freqKeys(shp)
+          if (keys.isEmpty) None
+          else Some(shp -> df.filter(labKey(shp.m).isin(keys: _*)))
+        }
+        val pats = freqKeys.toVector.flatMap { case (shp, keys) =>
+          keys.map { lk =>
+            val labels = Vector.tabulate(shp.m)(i =>
+              (lk / math.pow(numLabels, i).toLong % numLabels).toInt)
+            canonPattern(shp, labels)
+          }
+        }.distinct
+        out += level -> pats
+      }
+    } finally pool.shutdown()
     out.result()
   }
 

@@ -54,10 +54,20 @@ object IndependentSet {
     import spark.implicits._
     var remaining = GraphOps.vertices(symEdges).localCheckpoint(true)
     var mis = Seq.empty[Long].toDF("id")
-    for (_ <- 1 to rounds) {
+    var drained = false
+    for (_ <- 1 to rounds if !drained) {
       val (winners, next) = round(symEdges, remaining)
       mis = mis.unionAll(winners)
-      remaining = next.localCheckpoint(true)
+      // a drained remaining set makes every later round a no-op — skip
+      // them (the observe rides the materializing pass; result equals
+      // the full unroll)
+      val obs = org.apache.spark.sql.Observation()
+      remaining = next.observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      drained = (obs.get.get("n") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }) == 0L
     }
     mis
   }

@@ -27,10 +27,23 @@ object KCore {
   }
 
   /** Exactly `rounds` peel rounds (the SQL-oracle kernel): surviving
-    * (id, deg) in the subgraph after the last round. */
+    * (id, deg) in the subgraph after the last round. A round that
+    * removes no edge is a fixpoint — every later round is the identity —
+    * so the loop exits early (observe on the materializing pass, no
+    * extra scan); the result still equals the full k-round unroll. */
   def fixedRounds(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = symEdges.localCheckpoint(true)
-    for (_ <- 1 to rounds) edges = peel(edges, k).localCheckpoint(true)
+    var alive = -1L
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val obs = org.apache.spark.sql.Observation(s"kcore_f_$r")
+      edges = peel(edges, k)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val n = obs.get.get("n") match { case Some(l: Long) => l; case _ => 0L }
+      done = n == alive || n == 0L
+      alive = n
+    }
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 

@@ -138,24 +138,33 @@ object KTruss {
     State(o2, sup2, dropped)
   }
 
-  private def init(edges: DataFrame): State = {
-    val o = canonical(Triangles.orientByDegree(edges)).localCheckpoint(true)
+  private def init(edges: DataFrame,
+      pre: Option[(DataFrame, DataFrame)]): State = {
+    val o = canonical(pre.map(_._1)
+        .getOrElse(Triangles.orientByDegree(edges)))
+      .localCheckpoint(true)
     // enumeration feeds the support aggregate directly — the triangle
-    // set itself is never materialized or carried
-    State(o, initialSupport(enumerate(o)).localCheckpoint(true), -1L)
+    // set itself is never materialized or carried; a caller that already
+    // holds the listing (shared across the mining suite) passes it in
+    // and skips the wedge join entirely
+    val tris = pre.map(_._2).getOrElse(enumerate(o))
+    State(o, initialSupport(tris).localCheckpoint(true), -1L)
   }
 
   /** Exactly `rounds` support-peel rounds at truss number k (the
-    * SQL-oracle kernel): surviving undirected edges as (src < dst). */
-  def fixedRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var s = init(edges)
+    * SQL-oracle kernel): surviving undirected edges as (src < dst).
+    * `pre` optionally supplies the degree orientation and its triangle
+    * listing when the caller has them materialized already. */
+  def fixedRounds(edges: DataFrame, k: Int, rounds: Int,
+      pre: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    var s = init(edges, pre)
     for (r <- 1 to rounds) s = peel(s, k, needNext = r < rounds)
     s.o.select(col("lo").as("src"), col("hi").as("dst"))
   }
 
   /** Peel to fixpoint: (maximal k-truss edges as (src < dst), rounds). */
   def run(edges: DataFrame, k: Int, maxIter: Int = 1000): (DataFrame, Int) = {
-    var s = init(edges)
+    var s = init(edges, None)
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {

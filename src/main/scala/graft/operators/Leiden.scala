@@ -74,6 +74,14 @@ object Leiden {
     val w1 = edges.select(col("src"), col("dst"), lit(1L).as("w"))
     val comm = Louvain.localMoveRoundsWeighted(w1, r1).localCheckpoint(true)
     val sub = refineWeighted(w1, comm, rf).localCheckpoint(true)
+    twoLevelFrom(w1, comm, sub, r2)
+  }
+
+  /** The coarse half of [[twoLevel]] over precomputed level-1 move +
+    * refinement assignments (shared with [[oneLevel]] by a suite that
+    * runs both). */
+  def twoLevelFrom(w1: DataFrame, comm: DataFrame, sub: DataFrame,
+      r2: Int): DataFrame = {
     val coarse = Louvain.coarsen(w1, sub)
     // each sub-community lies inside exactly one parent community (the
     // refinement invariant), so min() just picks the unique value — the

@@ -56,8 +56,8 @@ object Louvain {
     * refinement, the whole graph otherwise); `init` is the starting
     * assignment (id, c), null → singletons (Leiden seeds the coarsened
     * level with the PARENT communities instead). */
-  private[operators] def moveRounds(edges: DataFrame, nbrEdges: DataFrame,
-      rounds: Int, init: DataFrame): DataFrame = {
+  private[graft] def moveRounds(edges: DataFrame, nbrEdges: DataFrame,
+      rounds: Int, init: DataFrame, startRound: Int = 1): DataFrame = {
     // k(v) = Σ_u A_vu INCLUDING the self-loop; 2m = Σ k is then exactly
     // the original graph's edge-endpoint mass after any coarsening
     val deg = edges.groupBy(col("src").as("id"))
@@ -76,7 +76,7 @@ object Louvain {
     var state =
       (if (init == null) deg.select(col("id"), col("id").as("c"))
        else init.select(col("id"), col("c"))).localCheckpoint(true)
-    for (round <- 1 to rounds) {
+    for (round <- startRound to rounds) {
       val stdeg = state.join(deg, "id") // (id, c, k) — one O(V) join
       val sigtot = stdeg.groupBy("c").agg(sum(col("k")).as("tot"))
       // e(v→C): edge weight from v into community C (via dst's assignment)
@@ -99,12 +99,16 @@ object Louvain {
           lit(m2) * col("e") -
             col("k") * (col("tot") -
               when(col("cand") === col("c"), col("k")).otherwise(lit(0L))))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("score").desc, col("cand").asc)
+      // argmax by (score desc, cand asc) as a partial-aggregating
+      // max(struct) — lexicographic struct ordering makes max pick the
+      // highest score, then (via the negated id) the smallest cand.
+      // Same result as the former row_number window, but it partially
+      // aggregates map-side and never sorts the candidate stream.
       state = scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("cand").as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("score"), (-col("cand")).as("nc"),
+          col("cand").as("cd"))).as("m"))
+        .select(col("id"), col("m.cd").as("c"))
         .localCheckpoint(true)
     }
     nonSelf.unpersist()
@@ -130,6 +134,13 @@ object Louvain {
   def twoLevel(edges: DataFrame, rounds1: Int, rounds2: Int): DataFrame = {
     val w1 = edges.select(col("src"), col("dst"), lit(1L).as("w"))
     val l1 = localMoveRoundsWeighted(w1, rounds1).localCheckpoint(true)
+    twoLevelFrom(w1, l1, rounds2)
+  }
+
+  /** Level-2 half of [[twoLevel]] over a precomputed level-1 assignment
+    * (a suite that already ran `rounds1` local-move rounds shares that
+    * state instead of recomputing it). */
+  def twoLevelFrom(w1: DataFrame, l1: DataFrame, rounds2: Int): DataFrame = {
     val coarse = coarsen(w1, l1)
     val l2 = localMoveRoundsWeighted(coarse, rounds2)
     l1.join(l2.select(col("id").as("community"),

@@ -52,15 +52,32 @@ object Matching {
 
   /** Exactly `rounds` rounds (the SQL-oracle kernel): matched edges so
     * far as (src < dst). */
-  def fixedRounds(edges: DataFrame, rounds: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def fixedRounds(edges: DataFrame, rounds: Int): DataFrame =
+    fixedRoundsOriented(GraphOps.orientUpper(edges), rounds)
+
+  /** [[fixedRounds]] over an ALREADY upper-canonical duplicate-free edge
+    * set (src < dst, one row per undirected edge) — skips the
+    * symmetrize+dedup exchange for callers (Bipart's coarsening, the
+    * suite) whose input is canonical by construction; orientUpper is the
+    * identity on such input. */
+  def fixedRoundsOriented(upper: DataFrame, rounds: Int): DataFrame = {
+    val spark = upper.sparkSession
     import spark.implicits._
-    var remaining = GraphOps.orientUpper(edges).localCheckpoint(true)
+    var remaining = upper.select("src", "dst").localCheckpoint(true)
     var matched = Seq.empty[(Long, Long)].toDF("src", "dst")
-    for (_ <- 1 to rounds) {
+    var drained = false
+    for (_ <- 1 to rounds if !drained) {
       val (winners, next) = round(remaining)
       matched = matched.unionAll(winners)
-      remaining = next.localCheckpoint(true)
+      // rounds over a drained edge set are no-ops — skip them (observe
+      // rides the materializing pass; result equals the full unroll)
+      val obs = org.apache.spark.sql.Observation()
+      remaining = next.observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      drained = (obs.get.get("n") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }) == 0L
     }
     matched
   }

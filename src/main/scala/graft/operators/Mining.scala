@@ -61,13 +61,25 @@ object Mining {
     * toward the clique, never re-expanding to full out-lists. Out-lists
     * are bounded by the degree orientation (the hub-skew guard), so the
     * arrays stay small at web scale. */
-  def kcliqueCount(edges: DataFrame, k: Int): Long = {
-    require(k >= 2, s"clique order must be >= 2, got $k")
-    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
-    if (k == 2) return o.count()
-    val olist = o.groupBy(col("src"))
+  def kcliqueCount(edges: DataFrame, k: Int): Long =
+    kcliqueCountOriented(
+      Triangles.orientByDegree(edges).localCheckpoint(true), k)
+
+  /** Sorted out-neighbor lists of a degree-oriented edge set — the
+    * candidate-set cascade's working frame, shareable across clique
+    * orders (k=4 and k=5 consume the same lists). */
+  def outLists(o: DataFrame): DataFrame =
+    o.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(true)
+
+  /** [[kcliqueCount]] over a precomputed orientation (and optionally
+    * precomputed out-lists) — one orientation + one list build serve
+    * every clique order in a suite. */
+  def kcliqueCountOriented(o: DataFrame, k: Int,
+      olistOpt: Option[DataFrame] = None): Long = {
+    require(k >= 2, s"clique order must be >= 2, got $k")
+    if (k == 2) return o.count()
+    val olist = olistOpt.getOrElse(outLists(o).localCheckpoint(true))
     // out-lists are V-sized (bounded by the orientation); broadcast
     // them while that fits so every extension stays in one codegen
     // stage with no exchange of the (huge) prefix stream. The gate is
@@ -121,8 +133,13 @@ object Mining {
     * ∃ nbr with lab l2}; support = min of the two sides (= both for
     * l1 = l2). */
   def fsmEdge(edges: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame =
+    fsmEdgeFrom(GraphOps.symmetrize(edges), minSupport, numLabels)
+
+  /** [[fsmEdge]] over a precomputed symmetric edge set. */
+  def fsmEdgeFrom(sym: DataFrame, minSupport: Long,
       numLabels: Int = 4): DataFrame = {
-    val el = GraphOps.symmetrize(edges)
+    val el = sym
       .select((col("src") % numLabels).as("ls"),
         (col("dst") % numLabels).as("ld"), col("src"))
     val d = el.groupBy("ls", "ld").agg(countDistinct(col("src")).as("n"))
@@ -142,8 +159,13 @@ object Mining {
     * needs a second same-label neighbor). Support = min of the three
     * domains. */
   def fsmWedge(edges: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame =
+    fsmWedgeFrom(GraphOps.symmetrize(edges).localCheckpoint(true),
+      minSupport, numLabels)
+
+  /** [[fsmWedge]] over a precomputed symmetric edge set. */
+  def fsmWedgeFrom(sym: DataFrame, minSupport: Long,
       numLabels: Int = 4): DataFrame = {
-    val sym = GraphOps.symmetrize(edges).localCheckpoint(true)
     // nc(c, l) = # distinct neighbors of c carrying label l
     val nc = sym.groupBy(col("src").as("c"),
         (col("dst") % numLabels).as("l"))
@@ -188,10 +210,15 @@ object Mining {
     * counted them (the `triangles` query) shares the memo instead of
     * re-running the 2-join enumeration. */
   def motif3(edges: DataFrame, triangles: Long): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val sym = GraphOps.symmetrize(edges)
-    val wedgeRow = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    motif3From(Triangles.symDegrees(sym), triangles)
+  }
+
+  /** [[motif3]] from a precomputed undirected degree table (id, d). */
+  def motif3From(deg: DataFrame, triangles: Long): DataFrame = {
+    val spark = deg.sparkSession
+    import spark.implicits._
+    val wedgeRow = deg.select(col("id"), col("d"))
       .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L))).first()
     // Σ d(d−1) is even by construction; halve driver-side so both
     // engines do exact integer division
@@ -200,16 +227,9 @@ object Mining {
       .toDF("wedges", "triangles", "open_wedges")
   }
 
-  /** The degree-oriented triangle listing (a, b, c) with a→b, b→c, a→c
-    * in the orientation — one row per undirected triangle. */
-  private def triangleListing(o: DataFrame): DataFrame = {
-    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
-    val e2 = o.select(col("src").as("b2"), col("dst").as("c"))
-    val e3 = o.select(col("src").as("a3"), col("dst").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .select(col("a"), col("b"), col("c"))
-  }
+  /** The degree-oriented triangle listing — see [[Triangles.listing]]. */
+  private def triangleListing(o: DataFrame): DataFrame =
+    Triangles.listing(o)
 
   /** Edge-induced 4-cycle count — the reference's subgraph-listing app
     * for the rectangle pattern (lonestar/mining/cpu/subgraph-listing/
@@ -224,19 +244,43 @@ object Mining {
     * rank above their neighbors and are excluded. */
   def cycle4Count(edges: DataFrame): Long = {
     val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    val deg = Triangles.symDegrees(sym).localCheckpoint(true)
+    cycle4CountFrom(sym, deg)
+  }
+
+  /** [[cycle4Count]] over precomputed symmetric edges + degree table.
+    *
+    * The wedge enumeration is SPLIT by the center's rank (the
+    * ESCAPE-style decomposition, Pinar et al. 2017) instead of
+    * enumerating every (out-edge × all-neighbors) pair and filtering the
+    * w ≻ u half away: for a wedge u–v–w with w ≺ u (both ≺ u because u
+    * is the cycle max), either (a) v ≺ w too — both arms are ORIENTED
+    * out of v, so the o ⋈ o self-join with the order test in the join
+    * condition emits each out-pair exactly once (Σ_v C(outdeg⁺,2) rows)
+    * — or (b) w ≺ v ≺ u — the arms are one in- and one out-arc of v,
+    * where w ≺ u holds TRANSITIVELY and no degree compare is needed at
+    * all (Σ_v indeg⁻·outdeg⁺ rows). Versus the single-stream form this
+    * emits ~half the join output and drops the degree lookup + rank
+    * filter from the bigger class. */
+  def cycle4CountFrom(sym: DataFrame, deg: DataFrame): Long = {
     val o = sym
       .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
       .join(deg.select(col("id").as("dst"), col("d").as("du")), "dst")
       .filter(col("ds") < col("du") ||
         (col("ds") === col("du") && col("src") < col("dst")))
       .select(col("src").as("v"), col("dst").as("u"), col("du"))
-    val pairs = o
-      .join(sym.select(col("src").as("v"), col("dst").as("w")), "v")
-      .join(deg.select(col("id").as("w"), col("d").as("dw")), "w")
+      .localCheckpoint(true)
+    // (a) out-out wedges: u, w ∈ N⁺(v), (dw, w) ≺ (du, u)
+    val outPairs = o
+      .join(o.select(col("v"), col("u").as("w"), col("du").as("dw")), "v")
       .filter(col("dw") < col("du") ||
         (col("dw") === col("du") && col("w") < col("u")))
+      .select(col("u"), col("w"))
+    // (b) in-out wedges: w → v → u in the orientation ⇒ w ≺ v ≺ u
+    val inOut = o.select(col("v").as("mid"), col("u"))
+      .join(o.select(col("u").as("mid"), col("v").as("w")), "mid")
+      .select(col("u"), col("w"))
+    val pairs = outPairs.unionAll(inOut)
       .groupBy(col("u"), col("w")).agg(count(lit(1)).as("n"))
     pairs.agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)))
       .first().getLong(0)
@@ -249,7 +293,11 @@ object Mining {
     * diamond's chord) identifies each diamond exactly once. */
   def diamondCount(edges: DataFrame): Long = {
     val o = Triangles.orientByDegree(edges).localCheckpoint(true)
-    val tris = triangleListing(o)
+    diamondCountFrom(triangleListing(o))
+  }
+
+  /** [[diamondCount]] over a precomputed triangle listing. */
+  def diamondCountFrom(tris: DataFrame): Long = {
     // each oriented pair appears once in o, so (src,dst) of the three
     // member edges is a canonical per-edge key
     val credits = tris.select(explode(array(
@@ -283,11 +331,18 @@ object Mining {
   def motif4(edges: DataFrame, triangles: Long, cliques4: Long,
       cycles4Sub: Long, diamondsSub: Long,
       triPerVertex: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    val deg = Triangles.symDegrees(sym).localCheckpoint(true)
+    motif4From(sym, deg, triangles, cliques4, cycles4Sub, diamondsSub,
+      triPerVertex)
+  }
+
+  /** [[motif4]] over precomputed symmetric edges + degree table. */
+  def motif4From(sym: DataFrame, deg: DataFrame, triangles: Long,
+      cliques4: Long, cycles4Sub: Long, diamondsSub: Long,
+      triPerVertex: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
     val pawSub = triPerVertex.join(deg, "id")
       .agg(coalesce(sum(col("triangles") * (col("d") - 2)), lit(0L)))
       .first().getLong(0)
@@ -328,8 +383,14 @@ object Mining {
   def fsm3Triangle(edges: DataFrame, minSupport: Long,
       numLabels: Int = 4): DataFrame = {
     val o = Triangles.orientByDegree(edges).localCheckpoint(true)
+    fsm3TriangleFrom(triangleListing(o), minSupport, numLabels)
+  }
+
+  /** [[fsm3Triangle]] over a precomputed triangle listing. */
+  def fsm3TriangleFrom(triList: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame = {
     def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
-    val tris = triangleListing(o)
+    val tris = triList
       .select(col("a"), col("b"), col("c"),
         lb(col("a")).as("la"), lb(col("b")).as("lbb"), lb(col("c")).as("lc"))
       .withColumn("p1", least(col("la"), col("lbb"), col("lc")))
@@ -373,6 +434,13 @@ object Mining {
   def fsm3Path(edges: DataFrame, minSupport: Long,
       numLabels: Int = 4): DataFrame = {
     val sym = GraphOps.symmetrize(GraphOps.clean(edges)).localCheckpoint(true)
+    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
+    fsm3PathFrom(sym, triangleListing(o), minSupport, numLabels)
+  }
+
+  /** [[fsm3Path]] over precomputed symmetric edges + triangle listing. */
+  def fsm3PathFrom(sym: DataFrame, triList: DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame = {
     def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
     val nc = sym.groupBy(col("src").as("v"), lb(col("dst")).as("l"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
@@ -381,8 +449,7 @@ object Mining {
         col("cnt").as("c2")), "y")
       .groupBy(col("x"), lb(col("y")).as("l1"), col("l2"))
       .agg(sum(col("c2")).as("s")).localCheckpoint(true)
-    val o = Triangles.orientByDegree(edges).localCheckpoint(true)
-    val tno = triangleListing(o).select(explode(array(
+    val tno = triList.select(explode(array(
         struct(col("a").as("v"), lb(col("b")).as("x"), lb(col("c")).as("y")),
         struct(col("a").as("v"), lb(col("c")).as("x"), lb(col("b")).as("y")),
         struct(col("b").as("v"), lb(col("a")).as("x"), lb(col("c")).as("y")),

@@ -260,7 +260,13 @@ object Motif5 {
   // Generic homomorphism counting by factor elimination (Spark)
   // ------------------------------------------------------------------
 
-  private final case class Factor(vars: Set[Int], df: DataFrame)
+  /** `folded` marks a message factor produced by a previous elimination:
+    * its per-key fan-out is a neighborhood PRODUCT (e.g. common-neighbor
+    * pair counts), typically far above the degree-bounded fan-out of an
+    * original arc factor — the join-order heuristic prefers arcs when a
+    * new variable must be introduced (see below). */
+  private final case class Factor(vars: Set[Int], df: DataFrame,
+    folded: Boolean = false)
 
   /** hom(H, G) where H is given as an edge list over 0..k−1 and G as a
     * symmetrized arc DataFrame (x, y). Vertices are summed out
@@ -269,7 +275,8 @@ object Motif5 {
     * — for cliques this reproduces the oriented cascade), then fewest
     * new variables, then the new variable with the most pending factors
     * back into the current boundary. */
-  def homCount(k: Int, pedges: Seq[(Int, Int)], arcs: DataFrame): Long = {
+  def homCount(k: Int, pedges: Seq[(Int, Int)], arcs: DataFrame,
+      cliqueCount: Option[Int => Long] = None): Long = {
     require(pedges.nonEmpty)
     // Complete patterns route through the candidate-set clique kernel:
     // hom(K_k) = k! · (# k-cliques) since a clique hom can neither
@@ -277,10 +284,14 @@ object Motif5 {
     // proposal join materializes the (k−1)-clique × out-degree stream
     // (measured ~27 s for hom(K5) at the sampled sf0.1 fixture vs ~3 s
     // through Mining.kcliqueCount's shrinking sorted-array candidates).
+    // `cliqueCount` lets the census share ONE orientation + out-list
+    // build across every complete quotient (K2..K5) instead of
+    // re-orienting the arc frame per call.
     if (pedges.size == k * (k - 1) / 2)
       return (1L to k.toLong).product *
-        Mining.kcliqueCount(arcs.select(col("x").as("src"),
-          col("y").as("dst")), k)
+        cliqueCount.map(f => f(k)).getOrElse(
+          Mining.kcliqueCount(arcs.select(col("x").as("src"),
+            col("y").as("dst")), k))
     var factors: List[Factor] = pedges.toList.map { case (a, b) =>
       Factor(Set(a, b), arcs.select(col("x").as(s"v$a"), col("y").as(s"v$b"),
         lit(1L).as("cnt")))
@@ -293,7 +304,7 @@ object Motif5 {
       val bucket = factors.filter(_.vars(x))
       val boundary = bucket.flatMap(_.vars).toSet
       val closure = factors.filter(_.vars.subsetOf(boundary))
-      var cur = bucket.minBy(f => (f.vars.size, f.vars.min))
+      var cur = bucket.minBy(f => (f.folded, f.vars.size, f.vars.min))
       var curVars = cur.vars
       var curDf = cur.df
       var rest = closure.filterNot(_ eq cur)
@@ -310,7 +321,15 @@ object Motif5 {
           }
         }
         require(scored.nonEmpty, s"disconnected elimination bucket at $x")
-        val nf = scored.minBy { case (_, nw, sh, sup) => (nw, -sh, -sup) }._1
+        // Tie-break: when a NEW variable must be introduced, bring it in
+        // through an ORIGINAL arc factor (fan-out ≤ degree) rather than a
+        // folded message factor (fan-out = a neighborhood product) —
+        // measured 9e7-row vs 1e7-row intermediates on the dense near-
+        // clique patterns; the closing probes that follow prune either
+        // way, so only the intermediate size changes, never the result.
+        val nf = scored.minBy { case (f, nw, sh, sup) =>
+          (nw, -sh, f.folded, -sup)
+        }._1
         val sharedCols = (nf.vars & curVars).toSeq.sorted.map(v => s"v$v")
         val unioned = (curVars ++ nf.vars).toSeq.sorted
         curDf = curDf
@@ -327,7 +346,7 @@ object Motif5 {
         else
           curDf.groupBy(outVars.map(v => col(s"v$v")): _*)
             .agg(sum(col("cnt")).as("cnt"))
-      factors = Factor(curVars - x, folded) ::
+      factors = Factor(curVars - x, folded, folded = true) ::
         factors.filterNot(f => closure.exists(_ eq f))
       remaining -= x
     }
@@ -348,6 +367,14 @@ object Motif5 {
       .select(col("src").as("x"), col("dst").as("y"))
       .localCheckpoint(true)
     val terms: Vector[Vector[(Long, QKey)]] = patterns.map(homTerms)
+    // one orientation + out-list build shared by every complete quotient
+    // (K2..K5 all route through the candidate-set clique kernel)
+    val orientedArcs = Triangles
+      .orientByDegree(arcs.select(col("x").as("src"), col("y").as("dst")))
+      .localCheckpoint(true)
+    val arcOlists = Mining.outLists(orientedArcs).localCheckpoint(true)
+    val cliqueFn: Int => Long =
+      k => Mining.kcliqueCountOriented(orientedArcs, k, Some(arcOlists))
     // densest first (they run longest), on a BOUNDED pool: the ~30 hom
     // jobs are individually tiny-staged, and submitting them all at
     // once just thrashes the scheduler (measured 3-7x per-hom wall
@@ -364,7 +391,7 @@ object Motif5 {
         Future.sequence(keys.map(q =>
           Future {
             val t0 = System.nanoTime()
-            val h = homCount(q.k, q.qedges, arcs)
+            val h = homCount(q.k, q.qedges, arcs, Some(cliqueFn))
             if (trace) System.err.println(
               f"MOTIF5_HOM k=${q.k} edges=${q.qedges.mkString(";")} " +
                 f"hom=$h secs=${(System.nanoTime() - t0) / 1e9}%.1f")

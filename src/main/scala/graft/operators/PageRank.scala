@@ -60,6 +60,14 @@ object PageRank {
       resume: Boolean = false,
       checkEvery: Int = 1): PageRankResult = {
 
+    // capped eager checkpoint: the fused residual join below multiplies
+    // the checkpoint leaf's inherited size estimate by the state's own —
+    // uncapped, the estimate's bit length doubles per iteration and
+    // Catalyst's stats visitor dies in BigInteger arithmetic by ~30
+    // rounds (see GraftPlanBridge)
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftPlanBridge.checkpointCapped(df)
+
     // tol < 0 → fixed-iteration mode: skip the L1 join entirely.
     val trackResidual = tol >= 0
     val n = adj.numVertices
@@ -91,7 +99,15 @@ object PageRank {
     var converged = false
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val steps = math.min(checkEvery, maxIter - iter)
+      // Fixed-iteration mode has no per-superstep stop test, so chain up
+      // to 8 supersteps lazily into ONE Catalyst job (plan depth grows
+      // linearly — the superstep references its input once): the serial
+      // driver cost (planning, action round-trip, checkpoint write) is
+      // paid once per chunk instead of once per superstep, which is the
+      // overhead that caps thread scaling of the short fixed-iteration
+      // bench loops. Residual mode keeps the caller's checkEvery.
+      val chunk = if (trackResidual) checkEvery else math.max(checkEvery, 8)
+      val steps = math.min(chunk, maxIter - iter)
       // localCheckpoint truncates the logical plan at every
       // materialization — without it the analyzed plan embeds the
       // previous state twice (gather + residual joins) and grows 2^k
@@ -102,14 +118,24 @@ object PageRank {
       if (trackResidual) {
         var cur = state
         for (_ <- 1 until steps) cur = superstep(cur)
-        val penult = if (steps == 1) state else cur.localCheckpoint(true)
-        next = superstep(penult).localCheckpoint(true)
-        l1 = next.join(penult.withColumnRenamed("value", "prev"), "id")
-          .agg(sum(abs(col("value") - col("prev")))).first().getDouble(0)
+        val penult = if (steps == 1) state else ck(cur)
+        // fold the L1 residual into the materializing pass: the join
+        // against the penultimate state rides the same job and the sum
+        // comes out of Dataset.observe — one action per check instead of
+        // a checkpoint pass plus a separate re-read aggregate.
+        val obs = org.apache.spark.sql.Observation(s"pr_topo_$iter")
+        next = ck(superstep(penult)
+          .join(penult.select(col("id"), col("value").as("prev")), "id")
+          .observe(obs, sum(abs(col("value") - col("prev"))).as("l1"))
+          .select(col("id"), col("value")))
+        l1 = obs.get.get("l1") match {
+          case Some(d: Double) => d
+          case _               => Double.NaN
+        }
       } else {
         var cur = state
         for (_ <- 1 to steps) cur = superstep(cur)
-        next = cur.localCheckpoint(true)
+        next = ck(cur)
       }
 
       iter += steps

@@ -67,19 +67,16 @@ object Sssp {
     lit(0L).cast(t)
   }
 
+  /** Fixed-round relaxation = the fixpoint loop capped at k rounds: the
+    * improved-vertices frontier proposes exactly the candidates whose
+    * min-fold can change (a non-improved vertex re-proposes values an
+    * earlier round already folded), so the per-round distance table is
+    * identical to the naive all-vertices scatter — O(frontier·deg) work
+    * instead of O(reached·deg), and rounds after the last improvement
+    * are no-ops the loop skips. */
   private def loopFixed(adj: Adjacency, source: Long, k: Int,
-      relax: (Adjacency, DataFrame) => DataFrame): DataFrame = {
-    val spark = adj.blocks.sparkSession
-    import spark.implicits._
-    var state = Seq(source).toDF("id")
-      .select(col("id"), zeroDist(adj).as("dist")).localCheckpoint(true)
-    for (_ <- 1 to k) {
-      state = state.unionAll(relax(adj, state))
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-    }
-    state
-  }
+      relax: (Adjacency, DataFrame) => DataFrame): DataFrame =
+    loopFixpoint(adj, source, k, relax)._1
 
   /** Bellman-Ford to fixpoint with an improved-vertices frontier:
     * (distances (id, dist), rounds). */

@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
  */
 object Triangles {
 
-  /** Orient an arbitrary directed edge table: symmetrize + dedup, then keep
-    * (a,b) with (deg(a), a) < (deg(b), b). */
-  def orientByDegree(edges: DataFrame): DataFrame = {
-    val sym = GraphOps.symmetrize(GraphOps.clean(edges))
-    // undirected degree = out-degree in the symmetrized graph
-    val deg = sym.groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("d"))
+  /** Undirected degree table (id, d) of an already-symmetric edge set =
+    * its out-degrees. Factored out so a suite computing many triangle-
+    * derived queries over ONE graph shares a single degree pass. */
+  def symDegrees(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src").as("id")).agg(functions.count(lit(1)).as("d"))
+
+  /** Degree orientation of an already-symmetric edge set given its
+    * degree table: keep (a,b) with (deg(a), a) < (deg(b), b). */
+  def orientFromSym(sym: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = sym
       .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
       .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
@@ -35,36 +38,49 @@ object Triangles {
       .select(col("src"), col("dst"))
   }
 
-  /** Exact triangle count over the (already oriented, duplicate-free) edge
-    * set. Any acyclic orientation yields the same count. */
-  def countOriented(oriented: DataFrame): Long = {
+  /** Orient an arbitrary directed edge table: symmetrize + dedup, then keep
+    * (a,b) with (deg(a), a) < (deg(b), b). */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(GraphOps.clean(edges))
+    // undirected degree = out-degree in the symmetrized graph
+    orientFromSym(sym, symDegrees(sym))
+  }
+
+  /** The degree-oriented triangle listing (a, b, c) with a→b, b→c, a→c
+    * in the orientation — one row per undirected triangle. This is the
+    * ONE expensive enumeration every triangle-derived operator (count,
+    * per-vertex credits, diamonds, labeled FSM tiers, truss support)
+    * consumes; callers that run several of them share one materialized
+    * listing instead of re-joining per query. */
+  def listing(oriented: DataFrame): DataFrame = {
     val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val e2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
     val e3 = oriented.select(col("src").as("a3"), col("dst").as("c3"))
     e1.join(e2, col("b") === col("b2"))
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .count()
+      .select(col("a"), col("b"), col("c"))
   }
+
+  /** Exact triangle count over the (already oriented, duplicate-free) edge
+    * set. Any acyclic orientation yields the same count. */
+  def countOriented(oriented: DataFrame): Long = listing(oriented).count()
 
   /** End-to-end: clean → symmetrize → degree-orient → two-join count. */
   def count(edges: DataFrame): Long = countOriented(orientByDegree(edges))
 
-  /** Per-vertex triangle participation counts (each triangle credited to
-    * all three corners), over all vertices (0 for none). */
-  def perVertex(edges: DataFrame): DataFrame = {
-    val oriented = orientByDegree(edges)
-    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
-    val e2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
-    val e3 = oriented.select(col("src").as("a3"), col("dst").as("c3"))
-    val tris = e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .select(col("a"), col("b"), col("c"))
+  /** Per-vertex credits over a precomputed triangle listing. */
+  def perVertexFrom(tris: DataFrame, vertices: DataFrame): DataFrame = {
     val credits = tris.select(col("a").as("id"))
       .union(tris.select(col("b").as("id")))
       .union(tris.select(col("c").as("id")))
       .groupBy("id").agg(functions.count(lit(1)).as("triangles"))
-    GraphOps.vertices(edges)
+    vertices
       .join(credits, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Per-vertex triangle participation counts (each triangle credited to
+    * all three corners), over all vertices (0 for none). */
+  def perVertex(edges: DataFrame): DataFrame =
+    perVertexFrom(listing(orientByDegree(edges)), GraphOps.vertices(edges))
 }

@@ -147,9 +147,12 @@ object TextFormats {
   /** PBBS AdjacencyGraph export (inverse of pbbs2gr,
     * graph-convert.cpp:2235-2290): token stream `AdjacencyGraph`, n, m,
     * n CSR start offsets, m destination ids — one token per line,
-    * vertices 0..maxId. A positional single file is inherently serial,
-    * so the offsets' running sum rides the same single partition the
-    * text write needs anyway. */
+    * vertices 0..maxId. Only the final text write funnels through one
+    * partition (a positional single file is inherently serial); the CSR
+    * offsets prefix-sum runs TIERED (range-partition + per-partition
+    * window + broadcast partition totals, [[graft.plans.Ranking]]) —
+    * the former `Window.orderBy(id)` with no partitionBy pushed all n
+    * offsets through a single window task. */
   def writePbbs(edges: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -159,13 +162,14 @@ object TextFormats {
     val header = Seq((0L, 0L, "AdjacencyGraph"), (1L, 0L, n.toString),
       (2L, 0L, m.toString)).toDF("ord", "seq", "value")
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = spark.range(n).select(col("id"))
-      .join(deg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+    val offsets = graft.plans.Ranking
+      .tieredCumSum(
+        spark.range(n).select(col("id"))
+          .join(deg, Seq("id"), "left")
+          .select(col("id"), coalesce(col("d"), lit(0L)).as("d")),
+        Seq(col("id").asc), "d", "cum")
       .select(lit(3L).as("ord"), col("id").as("seq"),
-        coalesce(sum(col("d")).over(w), lit(0L)).cast("string").as("value"))
+        (col("cum") - col("d")).cast("string").as("value"))
     val body = edges
       .select(lit(4L).as("ord"),
         (col("src") * (n + 1) + col("dst")).as("seq"),
