@@ -27,13 +27,13 @@ object SparkEntry {
     s"${System.identityHashCode(s)}:$o:$dir"
   private def adjDir(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "dir"),
-      Adjacency.build(TpchGraph.edges(s, dir)))
+      Adjacency.build(edgesE(s, dir)))
   private def adjSym(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "sym"),
       Adjacency.build(symE(s, dir)))
   private def adjWeighted(s: SparkSession, dir: String): Adjacency =
     adjCache.getOrElseUpdate(key(s, dir, "wdir"),
-      Adjacency.buildWeighted(TpchGraph.weightedEdges(s, dir)))
+      Adjacency.buildWeighted(GraphOps.attachWeights(edgesE(s, dir))))
 
   // Result memos: pagerank/pagerank_top20 and cc/cc_sizes share one run.
   private val dfCache =
@@ -56,9 +56,15 @@ object SparkEntry {
   // O(Σ outdeg²) triangle wedge-join FIVE times per bench pass. All
   // memos are per-JVM and recomputed from the parquet inputs on first
   // use — nothing persists across processes.
+  // the base edge derivation itself (parquet scan + self-loop filter +
+  // dropDuplicates exchange) re-ran in ~25 query lambdas — one
+  // checkpointed copy serves them all
+  private def edgesE(s: SparkSession, d: String): DataFrame =
+    dfCache.getOrElseUpdate(key(s, d, "edges"),
+      TpchGraph.edges(s, d).localCheckpoint(true))
   private def symE(s: SparkSession, d: String): DataFrame =
     dfCache.getOrElseUpdate(key(s, d, "syme"),
-      GraphOps.symmetrize(TpchGraph.edges(s, d)).localCheckpoint(true))
+      GraphOps.symmetrize(edgesE(s, d)).localCheckpoint(true))
   private def symDeg(s: SparkSession, d: String): DataFrame =
     dfCache.getOrElseUpdate(key(s, d, "symdeg"),
       Triangles.symDegrees(symE(s, d)).localCheckpoint(true))
@@ -94,7 +100,7 @@ object SparkEntry {
   private def triPerV(s: SparkSession, d: String): DataFrame =
     dfCache.getOrElseUpdate(key(s, d, "tripv"),
       Triangles.perVertexFrom(triListE(s, d),
-        GraphOps.vertices(TpchGraph.edges(s, d))).localCheckpoint(true))
+        GraphOps.vertices(edgesE(s, d))).localCheckpoint(true))
 
   // Community-detection shared states: leiden_2x2/leiden_2level run the
   // SAME (move 2, refine 2) level-1 pipeline, louvain_2level the same
@@ -128,7 +134,7 @@ object SparkEntry {
     * census (see the `motif_5` entry for why the full fixture is out of
     * the census's — and pangolin's — tractable regime at sf0.1). */
   private def motifGraph(s: SparkSession, d: String): DataFrame =
-    TpchGraph.edges(s, d).filter(
+    edgesE(s, d).filter(
       (shiftright(col("src"), 3) + lit(131L) * shiftright(col("dst"), 3))
         % 8 === 0)
 
@@ -139,21 +145,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 ingest / convert surface (gr2* tools)
-    "graph_edges" -> ((s, d) => TpchGraph.edges(s, d).orderBy("src", "dst")),
+    "graph_edges" -> ((s, d) => edgesE(s, d).orderBy("src", "dst")),
     "graph_symmetrize" -> ((s, d) => symE(s, d).orderBy("src", "dst")),
     // orientUpper(e) ≡ symmetrize(e).filter(src < dst) — ride the memo
     "graph_orient" -> ((s, d) =>
       symE(s, d).filter(col("src") < col("dst")).orderBy("src", "dst")),
     "graph_transpose" -> ((s, d) =>
-      GraphOps.transpose(TpchGraph.edges(s, d)).orderBy("src", "dst")),
+      GraphOps.transpose(edgesE(s, d)).orderBy("src", "dst")),
     "graph_degrees" -> ((s, d) =>
-      GraphOps.degrees(TpchGraph.edges(s, d)).orderBy("id")),
+      GraphOps.degrees(edgesE(s, d)).orderBy("id")),
     "graph_degree_hist" -> ((s, d) =>
-      GraphOps.degreeHistogram(TpchGraph.edges(s, d)).orderBy("outdeg")),
+      GraphOps.degreeHistogram(edgesE(s, d)).orderBy("outdeg")),
     "graph_indegree_hist" -> ((s, d) =>
-      GraphOps.inDegreeHistogram(TpchGraph.edges(s, d)).orderBy("indeg")),
+      GraphOps.inDegreeHistogram(edgesE(s, d)).orderBy("indeg")),
     "graph_sparsity" -> ((s, d) =>
-      GraphOps.sparsityPattern(TpchGraph.edges(s, d), 8)
+      GraphOps.sparsityPattern(edgesE(s, d), 8)
         .orderBy("row_block", "col_block")),
     // edgelist2gr / gr2edgelist round-trip: export the edge table as
     // headerless CSV, read it back through the typed ingest path; the
@@ -161,7 +167,7 @@ object SparkEntry {
     "graph_from_csv" -> ((s, d) => {
       val path = s"/root/repo/target/graft-csv/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.EdgeListCsv.write(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.write(edgesE(s, d), path)
       graft.sources.EdgeListCsv.read(s, path).orderBy("src", "dst")
     }),
     // factor 1.2 (not 2.0): the TpchGraph degree distribution tightens
@@ -169,19 +175,19 @@ object SparkEntry {
     // row that verifies nothing. 1.2 is non-empty at every driver sf
     // (sf0.001: 611, sf0.01: 859, sf0.1: 14 rows).
     "graph_hubs" -> ((s, d) =>
-      GraphOps.hubs(TpchGraph.edges(s, d), 1.2).orderBy("id")),
+      GraphOps.hubs(edgesE(s, d), 1.2).orderBy("id")),
     "graph_relabel" -> ((s, d) =>
-      GraphOps.relabelByDegree(TpchGraph.edges(s, d)).orderBy("id")),
+      GraphOps.relabelByDegree(edgesE(s, d)).orderBy("id")),
     "graph_permute" -> ((s, d) =>
-      GraphOps.permuteRandom(TpchGraph.edges(s, d)).orderBy("id")),
+      GraphOps.permuteRandom(edgesE(s, d)).orderBy("id")),
     "graph_lowdegree" -> ((s, d) =>
-      GraphOps.removeHighDegree(TpchGraph.edges(s, d), 10)
+      GraphOps.removeHighDegree(edgesE(s, d), 10)
         .orderBy("src", "dst")),
     // gr2mtx / mtx2gr round-trip through MatrixMarket text
     "graph_from_mtx" -> ((s, d) => {
       val path = s"/root/repo/target/graft-mtx/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.EdgeListCsv.writeMtx(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.writeMtx(edgesE(s, d), path)
       graft.sources.EdgeListCsv.readMtx(s, path).orderBy("src", "dst")
     }),
     // BFS (SURVEY §2.6): 4 fixed rounds from source = min vertex id
@@ -206,7 +212,7 @@ object SparkEntry {
     // k-truss support peel (SURVEY §2.6), 2 fixed rounds at trussNum 4,
     // sharing the suite's one orientation + triangle listing
     "ktruss_4" -> ((s, d) =>
-      KTruss.fixedRounds(TpchGraph.edges(s, d), 4, 2,
+      KTruss.fixedRounds(edgesE(s, d), 4, 2,
         Some((orientedE(s, d), triListE(s, d))))
         .orderBy("src", "dst")),
     // deterministic greedy maximal matching (SURVEY §2.6), 3 rounds
@@ -235,7 +241,7 @@ object SparkEntry {
     "graph_from_csv_w" -> ((s, d) => {
       val path = s"/root/repo/target/graft-csvw/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.EdgeListCsv.writeWeighted(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.EdgeListCsv.writeWeighted(GraphOps.attachWeights(edgesE(s, d)), path)
       graft.sources.EdgeListCsv.readWeighted(s, path)
         .select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .orderBy("src", "dst")
@@ -243,7 +249,7 @@ object SparkEntry {
     "graph_from_mtx_w" -> ((s, d) => {
       val path = s"/root/repo/target/graft-mtxw/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.EdgeListCsv.writeMtxWeighted(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.EdgeListCsv.writeMtxWeighted(GraphOps.attachWeights(edgesE(s, d)), path)
       graft.sources.EdgeListCsv.readMtxWeighted(s, path)
         .select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .orderBy("src", "dst")
@@ -251,13 +257,13 @@ object SparkEntry {
     "graph_from_dimacs" -> ((s, d) => {
       val path = s"/root/repo/target/graft-dimacs/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats.writeDimacs(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.TextFormats.writeDimacs(GraphOps.attachWeights(edgesE(s, d)), path)
       graft.sources.TextFormats.readDimacs(s, path).orderBy("src", "dst")
     }),
     "graph_to_neo4j" -> ((s, d) => {
       val path = s"/root/repo/target/graft-neo4j/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats.writeNeo4j(TpchGraph.weightedEdges(s, d), path)
+      graft.sources.TextFormats.writeNeo4j(GraphOps.attachWeights(edgesE(s, d)), path)
       graft.sources.TextFormats.readNeo4jEdges(s, path).orderBy("src", "dst")
     }),
     // 1-indexed edge list (gr2edgelist1ind) and METIS (line-positional
@@ -265,7 +271,7 @@ object SparkEntry {
     "graph_from_csv_1ind" -> ((s, d) => {
       val path = s"/root/repo/target/graft-csv1/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.EdgeListCsv.write1Indexed(TpchGraph.edges(s, d), path)
+      graft.sources.EdgeListCsv.write1Indexed(edgesE(s, d), path)
       graft.sources.EdgeListCsv.read1Indexed(s, path).orderBy("src", "dst")
     }),
     "graph_from_metis" -> ((s, d) => {
@@ -281,14 +287,14 @@ object SparkEntry {
       // textFile path (Hadoop FileInputFormat's hidden filter) rejects
       val path = s"/root/repo/target/graft-pbbs/d" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats.writePbbs(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.writePbbs(edgesE(s, d), path)
       graft.sources.TextFormats.readPbbs(s, path).orderBy("src", "dst")
     }),
     "graph_from_svmlight" -> ((s, d) => {
       val path = s"/root/repo/target/graft-svml/d" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
       graft.sources.TextFormats
-        .writeSvmlight(TpchGraph.weightedEdges(s, d), path)
+        .writeSvmlight(GraphOps.attachWeights(edgesE(s, d)), path)
       graft.sources.TextFormats.readSvmlight(s, path)
         .select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .orderBy("src", "dst")
@@ -297,13 +303,13 @@ object SparkEntry {
     "graph_from_nodelist" -> ((s, d) => {
       val path = s"/root/repo/target/graft-nodelist/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats.writeNodelist(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.writeNodelist(edgesE(s, d), path)
       graft.sources.TextFormats.readNodelist(s, path).orderBy("src", "dst")
     }),
     "graph_from_adjlist" -> ((s, d) => {
       val path = s"/root/repo/target/graft-adjlist/" +
         d.replaceAll("[^a-zA-Z0-9.]", "_")
-      graft.sources.TextFormats.writeAdjacencyList(TpchGraph.edges(s, d), path)
+      graft.sources.TextFormats.writeAdjacencyList(edgesE(s, d), path)
       graft.sources.TextFormats.readAdjacencyList(s, path).orderBy("src", "dst")
     }),
     // Boruvka minimum-spanning-forest rounds (SURVEY §2.6) over the
@@ -367,7 +373,7 @@ object SparkEntry {
       // (maxD, argmin id) as one struct-max aggregate (max degree, then
       // min vertex via the negated id — same values as the former
       // max-then-filter-min pair of jobs)
-      val e = TpchGraph.edges(s, d)
+      val e = edgesE(s, d)
       val r1 = e.select(explode(array(col("src"), col("dst"))).as("id"))
         .agg(countDistinct(col("id")), count(lit(1))).first()
       val (nv, ne) = (r1.getLong(0), r1.getLong(1) / 2)
@@ -458,7 +464,7 @@ object SparkEntry {
     // query); correctness is spec'd against brute-force exact-MNI and
     // the closed-form tiers (FsmEnumerateSpec).
     "fsm_enum4_s4" -> ((s, d) => FsmEnumerate.levelCounts(
-      TpchGraph.edges(s, d).filter(
+      edgesE(s, d).filter(
         (shiftright(col("src"), 3) + lit(131L) * shiftright(col("dst"), 3))
           % 64 === 0), maxEdges = 4, minSupport = 4)),
     // motif.cpp's largest size (k=5, 21 patterns) over a 1-in-8
@@ -513,7 +519,7 @@ object SparkEntry {
     // §2.6 max-flow (Preflowpush.cpp) as lock-step push-relabel
     // supersteps; s = min vertex, t = max vertex of s's mod-8 class
     "preflow_8" -> ((s, d) => {
-      val we = TpchGraph.weightedEdges(s, d).select(col("src").as("u"),
+      val we = GraphOps.attachWeights(edgesE(s, d)).select(col("src").as("u"),
         col("dst").as("v"), col("w").as("cap"))
       val vs = we.select(col("u").as("id"))
         .unionAll(we.select(col("v").as("id"))).distinct()

@@ -438,18 +438,11 @@ object Mining {
     fsm3PathFrom(sym, triangleListing(o), minSupport, numLabels)
   }
 
-  /** [[fsm3Path]] over precomputed symmetric edges + triangle listing. */
-  def fsm3PathFrom(sym: DataFrame, triList: DataFrame, minSupport: Long,
-      numLabels: Int = 4): DataFrame = {
+  /** tno(v, x, y): ordered labeled adjacent-neighbor-pair counts at v —
+    * one pass over the triangle listing (eagerly checkpointed). */
+  private def tnoFrame(triList: DataFrame, numLabels: Int): DataFrame = {
     def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
-    val nc = sym.groupBy(col("src").as("v"), lb(col("dst")).as("l"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
-    val nn = sym.select(col("src").as("x"), col("dst").as("y"))
-      .join(nc.select(col("v").as("y"), col("l").as("l2"),
-        col("cnt").as("c2")), "y")
-      .groupBy(col("x"), lb(col("y")).as("l1"), col("l2"))
-      .agg(sum(col("c2")).as("s")).localCheckpoint(true)
-    val tno = triList.select(explode(array(
+    triList.select(explode(array(
         struct(col("a").as("v"), lb(col("b")).as("x"), lb(col("c")).as("y")),
         struct(col("a").as("v"), lb(col("c")).as("x"), lb(col("b")).as("y")),
         struct(col("b").as("v"), lb(col("a")).as("x"), lb(col("c")).as("y")),
@@ -460,6 +453,36 @@ object Mining {
       .select(col("t.v"), col("t.x"), col("t.y"))
       .groupBy("v", "x", "y").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+  }
+
+  /** [[fsm3Path]] over precomputed symmetric edges + triangle listing.
+    * `triList` is BY-NAME: the (nc → nn) chain depends only on `sym`,
+    * so its eager checkpoints overlap the (possibly still-building)
+    * triangle listing and the tno pass on a second thread — the two
+    * pipelines are independent until the final closed-form joins
+    * (guide §2.6, overlap independent jobs). */
+  def fsm3PathFrom(sym: DataFrame, triList: => DataFrame, minSupport: Long,
+      numLabels: Int = 4): DataFrame = {
+    def lb(c: org.apache.spark.sql.Column) = lab3(c, numLabels)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val ncnnF = Future {
+      val nc = sym.groupBy(col("src").as("v"), lb(col("dst")).as("l"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      val nn = sym.select(col("src").as("x"), col("dst").as("y"))
+        .join(nc.select(col("v").as("y"), col("l").as("l2"),
+          col("cnt").as("c2")), "y")
+        .groupBy(col("x"), lb(col("y")).as("l1"), col("l2"))
+        .agg(sum(col("c2")).as("s")).localCheckpoint(true)
+      (nc, nn)
+    }
+    val tnoF = Future { tnoFrame(triList, numLabels) }
+    val ((nc, nn), tno) =
+      try (Await.result(ncnnF, Duration.Inf), Await.result(tnoF, Duration.Inf))
+      finally pool.shutdown()
     def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
     // slot-1 walk counts W(u, β, γ, δ) = Σ_{b~u, L(b)=β} nn(b, γ, δ)
     val w1 = sym.select(col("src").as("u"), col("dst").as("b"))

@@ -90,12 +90,26 @@ object PointsTo {
     var dPts = pts // round 1: everything is new
     var copy = copies.select(col("src"), col("dst")).distinct()
       .transform(ck)
-    for (_ <- 1 to rounds) {
-      val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
-      pts = p2.transform(ck)
-      dPts = d2.transform(ck)
-      copy = c2.transform(ck)
-    }
+    // the three per-round relations are independent dataflows over the
+    // previous round's (already materialized) frames — checkpoint them
+    // concurrently so the driver pays one materialization latency per
+    // round, not three (guide §2.6)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      for (_ <- 1 to rounds) {
+        val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
+        val (pF, dF, cF) =
+          (Future(p2.transform(ck)), Future(d2.transform(ck)),
+            Future(c2.transform(ck)))
+        pts = Await.result(pF, Duration.Inf)
+        dPts = Await.result(dF, Duration.Inf)
+        copy = Await.result(cF, Duration.Inf)
+      }
+    } finally pool.shutdown()
     pts
   }
 

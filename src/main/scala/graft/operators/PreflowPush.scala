@@ -98,20 +98,35 @@ object PreflowPush {
       .transform(ck)
     val outP = pushes.groupBy(col("u").as("id")).agg(sum("p").as("po"))
     val inP = pushes.groupBy(col("v").as("id")).agg(sum("p").as("pi"))
-    val arcs2 = arcs
-      .join(pushes.withColumnRenamed("p", "pf"), Seq("u", "v"), "left")
-      .join(pushes.select(col("v").as("u"), col("u").as("v"),
-        col("p").as("pr")), Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        (col("res") - coalesce(col("pf"), lit(0L)) +
-          coalesce(col("pr"), lit(0L))).as("res"))
-      .transform(ck)
-    val ex2 = ex
-      .join(outP, Seq("id"), "left").join(inP, Seq("id"), "left")
-      .select(col("id"),
-        (col("ex") - coalesce(col("po"), lit(0L)) +
-          coalesce(col("pi"), lit(0L))).as("ex"))
-      .transform(ck)
+    // arcs2 and ex2 are independent dataflows over the checkpointed
+    // pushes — materialize them concurrently (one latency, not two)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val arcs2F = Future {
+      arcs
+        .join(pushes.withColumnRenamed("p", "pf"), Seq("u", "v"), "left")
+        .join(pushes.select(col("v").as("u"), col("u").as("v"),
+          col("p").as("pr")), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          (col("res") - coalesce(col("pf"), lit(0L)) +
+            coalesce(col("pr"), lit(0L))).as("res"))
+        .transform(ck)
+    }
+    val ex2F = Future {
+      ex
+        .join(outP, Seq("id"), "left").join(inP, Seq("id"), "left")
+        .select(col("id"),
+          (col("ex") - coalesce(col("po"), lit(0L)) +
+            coalesce(col("pi"), lit(0L))).as("ex"))
+        .transform(ck)
+    }
+    val (arcs2, ex2) =
+      try (Await.result(arcs2F, Duration.Inf),
+        Await.result(ex2F, Duration.Inf))
+      finally pool.shutdown()
     // relabel on the new residual graph, old heights. One pass over the
     // residual arcs computes BOTH relabel inputs per vertex — the min
     // neighbor height and whether any admissible arc remains — instead
