@@ -106,6 +106,30 @@ object Dev {
         val fr = Boruvka.fixedRounds(edf, 5, 8).count()
         println(f"[mst] fixedRounds(5,8): $fr ${(System.nanoTime() - t0) / 1e9}%.1fs")
 
+      case "trilist" =>
+        // A/B the two triangle-listing forms over the suite graph:
+        // wedge self-join (Triangles.listing) vs out-list intersection
+        // (Triangles.listingFrom). usage: Dev trilist [sfDir] [reps]
+        import org.apache.spark.sql.functions._
+        val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val reps = args.lift(2).map(_.toInt).getOrElse(2)
+        val sym = GraphOps.symmetrize(TpchGraph.edges(spark, sf))
+          .localCheckpoint(true)
+        val deg = Triangles.symDegrees(sym).localCheckpoint(true)
+        var t0 = System.nanoTime()
+        val o = Triangles.orientFromSym(sym, deg).localCheckpoint(true)
+        println(f"orient: ${(System.nanoTime() - t0) / 1e9}%.2fs E=${o.count()}")
+        t0 = System.nanoTime()
+        val ol = Mining.outLists(o).localCheckpoint(true)
+        println(f"olist build: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        for (r <- 1 to reps) {
+          t0 = System.nanoTime()
+          val a = Triangles.listing(o).count()
+          println(f"[trilist] wedge-join rep$r: T=$a ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          t0 = System.nanoTime()
+          val b = Triangles.listingFrom(o, ol).count()
+          println(f"[trilist] intersect rep$r: T=$b ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       case "motif5solo" =>
         import org.apache.spark.sql.functions._
         val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")

@@ -77,7 +77,10 @@ object SparkEntry {
       Mining.outLists(orientedE(s, d)).localCheckpoint(true))
   private def triListE(s: SparkSession, d: String): DataFrame =
     dfCache.getOrElseUpdate(key(s, d, "trilist"),
-      Triangles.listing(orientedE(s, d)).localCheckpoint(true))
+      // intersection form over the shared out-lists: the Σ outdeg⁺²
+      // wedge stream of Triangles.listing never crosses an exchange
+      Triangles.listingFrom(orientedE(s, d), olistE(s, d))
+        .localCheckpoint(true))
 
   // Scalar memos for the heavy mining counts: triangles/motif_3/motif_4
   // share one 2-join enumeration, kclique_4/motif_4 one candidate-set

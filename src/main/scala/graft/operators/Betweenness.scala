@@ -27,15 +27,22 @@ import org.apache.spark.sql.functions._
  */
 object Betweenness {
 
-  /** Forward phase: (q, id, dist, sigma) for every vertex within
-    * `maxLevels` hops of its source q. */
+  /** Forward phase: ((q, id, dist, sigma) for every vertex within
+    * `maxLevels` hops of its source q, deepest level that added any
+    * vertex). Rounds after every per-source frontier drains are no-ops
+    * (empty frontier ⇒ empty candidate set ⇒ unchanged state), so the
+    * loop exits early — the observe rides the materializing pass, and
+    * the result still equals the full maxLevels unroll the SQL oracle
+    * runs (the same argument as Bfs.fixedRounds). */
   private[operators] def forward(adj: Adjacency, sources: Seq[Long],
-      maxLevels: Int): DataFrame = {
+      maxLevels: Int): (DataFrame, Int) = {
     val spark = adj.blocks.sparkSession
     import spark.implicits._
     var state = sources.map(q => (q, q, 0, 1L))
       .toDF("q", "id", "dist", "sigma").localCheckpoint(true)
-    for (r <- 1 to maxLevels) {
+    var deepest = 0
+    var exhausted = false
+    for (r <- 1 to maxLevels if !exhausted) {
       val frontier = state.filter(col("dist") === r - 1)
       val cand = adj.blocks
         .join(frontier, adj.blocks("src") === frontier("id"))
@@ -43,18 +50,25 @@ object Betweenness {
         .groupBy("q", "id").agg(sum(col("sigma")).as("sigma"))
       val fresh = cand.join(state.select("q", "id"), Seq("q", "id"),
         "left_anti")
+      val obs = org.apache.spark.sql.Observation(s"bc_fwd_$r")
       state = state.unionAll(
         fresh.select(col("q"), col("id"), lit(r).as("dist"), col("sigma")))
+        .observe(obs, sum(when(col("dist") === r, 1L).otherwise(0L)).as("n"))
         .localCheckpoint(true)
+      val added = obs.get.get("n") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }
+      if (added > 0) deepest = r else exhausted = true
     }
-    state
+    (state, deepest)
   }
 
   /** bc scores over all vertices (0 where no dependency): (id, bc). */
   def run(adj: Adjacency, sources: Seq[Long], maxLevels: Int): DataFrame = {
     val spark = adj.blocks.sparkSession
     import spark.implicits._
-    val fwd = forward(adj, sources, maxLevels)
+    val (fwd, deepest) = forward(adj, sources, maxLevels)
     // backward: deltas per level, deepest first. delta starts empty; at
     // level l, every edge v→w with dist(v)=l, dist(w)=l+1 contributes
     // (sigma_v / sigma_w) * (1 + delta_w) to delta_v.
@@ -65,7 +79,11 @@ object Betweenness {
     // O(L·V) final aggregate). Rows are unique per (q, id) across levels
     // (each vertex has one dist per source), so folding = the same sum.
     var bcAcc = Seq.empty[(Long, Double)].toDF("id", "bc")
-    for (l <- (maxLevels - 1) to 0 by -1) {
+    // levels above the deepest reached distance have no (dist l+1)
+    // successors: their delta frames are empty and contribute nothing —
+    // start the backward sweep where the DAG actually ends instead of
+    // paying an empty checkpoint job per phantom level.
+    for (l <- math.min(maxLevels - 1, deepest - 1) to 0 by -1) {
       val vs = fwd.filter(col("dist") === l)
         .select(col("q"), col("id").as("v"), col("sigma").as("sv"))
       val ws = fwd.filter(col("dist") === l + 1)

@@ -227,10 +227,27 @@ object Bipart {
       .select(col("src"), col("dst"), col("w"))
       .localCheckpoint(true)
     // one coarsening level; matches never cross parts (their edges were
-    // filtered out), so reps stay inside their part
-    val matched = Matching
-      .fixedRoundsOriented(pe.select("src", "dst"), matchRounds)
-      .localCheckpoint(true)
+    // filtered out), so reps stay inside their part. The matching rounds
+    // and the refinement's symmetrized edge frame are independent
+    // dataflows over the checkpointed pe — build them concurrently
+    // (guide §2.6).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val matchedF = Future {
+      Matching.fixedRoundsOriented(pe.select("src", "dst"), matchRounds)
+        .localCheckpoint(true)
+    }
+    val symF = Future {
+      pe.unionByName(pe.select(col("dst").as("src"),
+        col("src").as("dst"), col("w"))).localCheckpoint(true)
+    }
+    val (matched, sym) =
+      try (Await.result(matchedF, Duration.Inf),
+        Await.result(symF, Duration.Inf))
+      finally pool.shutdown()
     val map = parts
       .join(matched.select(col("dst").as("id"), col("src").as("rep")),
         Seq("id"), "left")
@@ -252,9 +269,7 @@ object Bipart {
     var cur = map.join(p0c, Seq("rep", "grp"))
       .select(col("id"), col("part"))
       .localCheckpoint(true)
-    // grouped refinement at the fine level
-    val sym = pe.unionByName(pe.select(col("dst").as("src"),
-      col("src").as("dst"), col("w"))).localCheckpoint(true)
+    // grouped refinement at the fine level (sym prebuilt above)
     for (r <- 1 to refineRounds)
       cur = refineRoundGrouped(sym, vw, cur, if (r % 2 == 1) 0L else 1L)
         .localCheckpoint(true)

@@ -66,18 +66,22 @@ object Matching {
     var remaining = upper.select("src", "dst").localCheckpoint(true)
     var matched = Seq.empty[(Long, Long)].toDF("src", "dst")
     var drained = false
-    for (_ <- 1 to rounds if !drained) {
+    for (r <- 1 to rounds if !drained) {
       val (winners, next) = round(remaining)
       matched = matched.unionAll(winners)
       // rounds over a drained edge set are no-ops — skip them (observe
-      // rides the materializing pass; result equals the full unroll)
-      val obs = org.apache.spark.sql.Observation()
-      remaining = next.observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      drained = (obs.get.get("n") match {
-        case Some(l: Long) => l
-        case _             => 0L
-      }) == 0L
+      // rides the materializing pass; result equals the full unroll).
+      // After the FINAL round nothing consumes `remaining` — skip that
+      // materialization outright.
+      if (r < rounds) {
+        val obs = org.apache.spark.sql.Observation()
+        remaining = next.observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        drained = (obs.get.get("n") match {
+          case Some(l: Long) => l
+          case _             => 0L
+        }) == 0L
+      }
     }
     matched
   }

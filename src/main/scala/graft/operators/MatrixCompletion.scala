@@ -92,8 +92,16 @@ object MatrixCompletion {
 
     val sse = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (t <- 1 to rounds) {
-      val e = errs.transform(ck)
-      sse += e.agg(sum(col("err") * col("err"))).first().getLong(0)
+      // the round's sse rides the checkpoint's materializing pass
+      // (Dataset.observe) instead of a second scan of the cached frame
+      val obs = org.apache.spark.sql.Observation(s"mc_sse_$t")
+      val e = errs
+        .observe(obs, sum(col("err") * col("err")).as("sse"))
+        .transform(ck)
+      sse += (obs.get.get("sse") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      })
       if (t % 2 == 1) {
         // gather into users: u_k += floor(Σ err·v_k / (S·LR·deg))
         val aggs = count(lit(1)).as("deg") +:

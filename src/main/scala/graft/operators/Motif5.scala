@@ -264,9 +264,47 @@ object Motif5 {
     * its per-key fan-out is a neighborhood PRODUCT (e.g. common-neighbor
     * pair counts), typically far above the degree-bounded fan-out of an
     * original arc factor — the join-order heuristic prefers arcs when a
-    * new variable must be introduced (see below). */
+    * new variable must be introduced (see below). `absorbed` carries the
+    * original pattern edges the factor summarizes and `internal` the
+    * already-summed-out vertices: together they identify the factor's
+    * VALUE as a function of its boundary (the number of extensions of
+    * the absorbed sub-pattern), which is what the cross-job fold memo
+    * keys on. */
   private final case class Factor(vars: Set[Int], df: DataFrame,
-    folded: Boolean = false)
+    folded: Boolean = false, absorbed: Set[(Int, Int)] = Set.empty,
+    internal: Set[Int] = Set.empty)
+
+  /** Canonical key of a folded message: the absorbed sub-pattern with
+    * boundary vertices distinguished, minimized over all relabelings
+    * that keep boundary and internal vertices separate. Returns the key
+    * and, for the SORTED boundary vars, their canonical positions under
+    * the minimizing relabeling — the column contract between a memoized
+    * frame (columns c0..c{m-1}, cnt) and any consumer (which renames
+    * position p_i back to its own i-th sorted boundary var). Two folds
+    * with equal keys compute the same extension-count function up to
+    * that boundary bijection, so sharing the materialized frame is
+    * exact. */
+  private def foldKey(vars: Set[Int], internal: Set[Int],
+      absorbed: Set[(Int, Int)]): (String, Seq[Int]) = {
+    val bnd = vars.toVector.sorted
+    val intn = internal.toVector.sorted
+    val m = bnd.size
+    var best: String = null
+    var bestPos: Seq[Int] = null
+    for {
+      bp <- (0 until m).toVector.permutations
+      ip <- (0 until intn.size).toVector.permutations
+    } {
+      val map = bnd.zip(bp).toMap ++
+        intn.zip(ip.map(_ + m)).toMap
+      val es = absorbed.toVector.map { case (a, b) =>
+        (map(a) min map(b), map(a) max map(b))
+      }.sorted
+      val enc = m + "|" + es.mkString(",")
+      if (best == null || enc < best) { best = enc; bestPos = bnd.map(map) }
+    }
+    (best, bestPos)
+  }
 
   /** hom(H, G) where H is given as an edge list over 0..k−1 and G as a
     * symmetrized arc DataFrame (x, y). Vertices are summed out
@@ -276,7 +314,9 @@ object Motif5 {
     * new variables, then the new variable with the most pending factors
     * back into the current boundary. */
   def homCount(k: Int, pedges: Seq[(Int, Int)], arcs: DataFrame,
-      cliqueCount: Option[Int => Long] = None): Long = {
+      cliqueCount: Option[Int => Long] = None,
+      foldMemo: Option[java.util.concurrent.ConcurrentHashMap[
+        String, DataFrame]] = None): Long = {
     require(pedges.nonEmpty)
     // Complete patterns route through the candidate-set clique kernel:
     // hom(K_k) = k! · (# k-cliques) since a clique hom can neither
@@ -294,7 +334,7 @@ object Motif5 {
             col("y").as("dst")), k))
     var factors: List[Factor] = pedges.toList.map { case (a, b) =>
       Factor(Set(a, b), arcs.select(col("x").as(s"v$a"), col("y").as(s"v$b"),
-        lit(1L).as("cnt")))
+        lit(1L).as("cnt")), absorbed = Set((a min b, a max b)))
     }
     var remaining: Set[Int] = pedges.flatMap(e => Seq(e._1, e._2)).toSet
     while (remaining.nonEmpty) {
@@ -340,13 +380,43 @@ object Motif5 {
         rest = rest.filterNot(_ eq nf)
       }
       val outVars = (curVars - x).toSeq.sorted
-      val folded =
+      val absorbedAll = closure.flatMap(_.absorbed).toSet
+      val internalAll = closure.flatMap(_.internal).toSet + x
+      val newFactor =
         if (outVars.isEmpty)
-          curDf.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
-        else
-          curDf.groupBy(outVars.map(v => col(s"v$v")): _*)
+          Factor(Set.empty, curDf.agg(
+              coalesce(sum(col("cnt")), lit(0L)).as("cnt")),
+            folded = true, absorbedAll, internalAll)
+        else {
+          def genericFold = curDf
+            .groupBy(outVars.map(v => col(s"v$v")): _*)
             .agg(sum(col("cnt")).as("cnt"))
-      factors = Factor(curVars - x, folded, folded = true) ::
+          foldMemo match {
+            case Some(memo) =>
+              // cross-job sharing: the fold's value is the extension
+              // count of its absorbed sub-pattern, so any fold with the
+              // same canonical (boundary-distinguished) structure is
+              // the SAME frame up to the boundary bijection foldKey
+              // returns. computeIfAbsent materializes it exactly once
+              // (eager checkpoint) across the census's hom-job pool;
+              // positional ties between producer and consumer differ
+              // only by an automorphism of the canonical form, under
+              // which the function is symmetric.
+              val (ck, pos) = foldKey(curVars - x, internalAll, absorbedAll)
+              val frame = memo.computeIfAbsent(ck, _ =>
+                genericFold.select(outVars.zip(pos).map { case (v, p) =>
+                    col(s"v$v").as(s"c$p") } :+ col("cnt"): _*)
+                  .localCheckpoint(true))
+              Factor(curVars - x,
+                frame.select(outVars.zip(pos).map { case (v, p) =>
+                  col(s"c$p").as(s"v$v") } :+ col("cnt"): _*),
+                folded = true, absorbedAll, internalAll)
+            case None =>
+              Factor(curVars - x, genericFold, folded = true,
+                absorbedAll, internalAll)
+          }
+        }
+      factors = newFactor ::
         factors.filterNot(f => closure.exists(_ eq f))
       remaining -= x
     }
@@ -386,15 +456,26 @@ object Motif5 {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val trace = sys.env.contains("GRAFT_MOTIF5_TRACE")
+    // one fold memo per census call (per-JVM, rebuilt from the arc
+    // frame every invocation): the ~30 hom jobs share every
+    // structurally-identical folded message (degree tables,
+    // common-neighbor counts, path messages, triangle-extension
+    // counts) instead of each re-aggregating its own copy.
+    val foldMemo =
+      if (sys.env.contains("GRAFT_MOTIF5_NOMEMO")) None
+      else Some(
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     val homs: Map[QKey, Long] =
       try Await.result(
         Future.sequence(keys.map(q =>
           Future {
             val t0 = System.nanoTime()
-            val h = homCount(q.k, q.qedges, arcs, Some(cliqueFn))
+            val h = homCount(q.k, q.qedges, arcs, Some(cliqueFn),
+              foldMemo)
             if (trace) System.err.println(
               f"MOTIF5_HOM k=${q.k} edges=${q.qedges.mkString(";")} " +
-                f"hom=$h secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+                f"hom=$h secs=${(System.nanoTime() - t0) / 1e9}%.1f " +
+                f"memo=${foldMemo.map(_.size).getOrElse(-1)}")
             q -> h
           })), Duration.Inf).toMap
       finally pool.shutdown()

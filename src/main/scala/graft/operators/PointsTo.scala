@@ -90,24 +90,26 @@ object PointsTo {
     var dPts = pts // round 1: everything is new
     var copy = copies.select(col("src"), col("dst")).distinct()
       .transform(ck)
-    // the three per-round relations are independent dataflows over the
-    // previous round's (already materialized) frames — checkpoint them
-    // concurrently so the driver pays one materialization latency per
-    // round, not three (guide §2.6)
+    // only the two DELTAS are materialized per round (concurrently —
+    // one latency); the full pts/copy relations stay LAZY unions of the
+    // already-checkpointed deltas, so the heavy prop ∪ distinct ∪
+    // anti-join pipeline runs once per round instead of twice (the old
+    // shape checkpointed pts ∪ Δ and Δ separately, re-deriving Δ's
+    // whole dataflow inside both jobs). Union trees over checkpointed
+    // leaves stay O(rounds) deep — no lineage blow-up.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
       for (_ <- 1 to rounds) {
-        val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
-        val (pF, dF, cF) =
-          (Future(p2.transform(ck)), Future(d2.transform(ck)),
-            Future(c2.transform(ck)))
-        pts = Await.result(pF, Duration.Inf)
+        val (_, d2, _, dc) = round(pts, dPts, copy, loads, stores)
+        val (dF, cF) = (Future(d2.transform(ck)), Future(dc.transform(ck)))
         dPts = Await.result(dF, Duration.Inf)
-        copy = Await.result(cF, Duration.Inf)
+        val dCopy = Await.result(cF, Duration.Inf)
+        pts = pts.unionByName(dPts)
+        copy = copy.unionByName(dCopy)
       }
     } finally pool.shutdown()
     pts
@@ -128,10 +130,10 @@ object PointsTo {
     var it = 0
     var frontier = dPts.count()
     while (frontier > 0 && it < maxRounds) {
-      val (p2, d2, c2, _) = round(pts, dPts, copy, loads, stores)
-      pts = p2.transform(ck)
+      val (_, d2, _, dc) = round(pts, dPts, copy, loads, stores)
       dPts = d2.transform(ck)
-      copy = c2.transform(ck)
+      copy = copy.unionByName(dc.transform(ck))
+      pts = pts.unionByName(dPts)
       frontier = dPts.count()
       it += 1
     }

@@ -98,55 +98,58 @@ object PreflowPush {
       .transform(ck)
     val outP = pushes.groupBy(col("u").as("id")).agg(sum("p").as("po"))
     val inP = pushes.groupBy(col("v").as("id")).agg(sum("p").as("pi"))
-    // arcs2 and ex2 are independent dataflows over the checkpointed
-    // pushes — materialize them concurrently (one latency, not two)
+    // arcs2, ex2 AND h2 are all pure dataflows over the checkpointed
+    // pushes + old state: h2 consumes LAZY copies of the arcs2/ex2
+    // plans, so all three materialize concurrently and the post-push
+    // critical path is ONE checkpoint latency, not two. (h2's job
+    // re-evaluates the small arcs2/ex2 joins internally; these rounds
+    // are latency-dominated — the duplicated lazy work back-fills idle
+    // executors while the three jobs overlap, guide §2.6.)
+    def arcs2Plan = arcs
+      .join(pushes.withColumnRenamed("p", "pf"), Seq("u", "v"), "left")
+      .join(pushes.select(col("v").as("u"), col("u").as("v"),
+        col("p").as("pr")), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("res") - coalesce(col("pf"), lit(0L)) +
+          coalesce(col("pr"), lit(0L))).as("res"))
+    def ex2Plan = ex
+      .join(outP, Seq("id"), "left").join(inP, Seq("id"), "left")
+      .select(col("id"),
+        (col("ex") - coalesce(col("po"), lit(0L)) +
+          coalesce(col("pi"), lit(0L))).as("ex"))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    val arcs2F = Future {
-      arcs
-        .join(pushes.withColumnRenamed("p", "pf"), Seq("u", "v"), "left")
-        .join(pushes.select(col("v").as("u"), col("u").as("v"),
-          col("p").as("pr")), Seq("u", "v"), "left")
-        .select(col("u"), col("v"),
-          (col("res") - coalesce(col("pf"), lit(0L)) +
-            coalesce(col("pr"), lit(0L))).as("res"))
-        .transform(ck)
-    }
-    val ex2F = Future {
-      ex
-        .join(outP, Seq("id"), "left").join(inP, Seq("id"), "left")
-        .select(col("id"),
-          (col("ex") - coalesce(col("po"), lit(0L)) +
-            coalesce(col("pi"), lit(0L))).as("ex"))
-        .transform(ck)
-    }
-    val (arcs2, ex2) =
-      try (Await.result(arcs2F, Duration.Inf),
-        Await.result(ex2F, Duration.Inf))
-      finally pool.shutdown()
+    val arcs2F = Future { ck(arcs2Plan) }
+    val ex2F = Future { ck(ex2Plan) }
     // relabel on the new residual graph, old heights. One pass over the
     // residual arcs computes BOTH relabel inputs per vertex — the min
     // neighbor height and whether any admissible arc remains — instead
     // of the former two-pass shape (an admissible-set distinct plus a
     // separate min aggregate, each joined into h2 on its own): same
     // values, two fewer exchanges and no distinct per superstep.
-    val nbrH = arcs2.filter(col("res") > 0)
-      .join(h.select(col("id").as("v"), col("h").as("hv")), "v")
-      .join(h.select(col("id").as("u"), col("h").as("hu")), "u")
-      .groupBy(col("u").as("id"))
-      .agg(min(col("hv")).as("mh"),
-        max(when(col("hu") === col("hv") + 1, 1L).otherwise(0L)).as("adm"))
-    val h2 = h
-      .join(ex2.withColumnRenamed("ex", "ex2"), "id")
-      .join(nbrH, Seq("id"), "left")
-      .select(col("id"),
-        when(col("ex2") > 0 && col("id") =!= s && col("id") =!= t &&
-            coalesce(col("adm"), lit(0L)) === 0L,
-          coalesce(col("mh") + 1, col("h"))).otherwise(col("h")).as("h"))
-      .transform(ck)
+    val h2F = Future {
+      val nbrH = arcs2Plan.filter(col("res") > 0)
+        .join(h.select(col("id").as("v"), col("h").as("hv")), "v")
+        .join(h.select(col("id").as("u"), col("h").as("hu")), "u")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("hv")).as("mh"),
+          max(when(col("hu") === col("hv") + 1, 1L).otherwise(0L)).as("adm"))
+      h.join(ex2Plan.withColumnRenamed("ex", "ex2"), "id")
+        .join(nbrH, Seq("id"), "left")
+        .select(col("id"),
+          when(col("ex2") > 0 && col("id") =!= s && col("id") =!= t &&
+              coalesce(col("adm"), lit(0L)) === 0L,
+            coalesce(col("mh") + 1, col("h"))).otherwise(col("h")).as("h"))
+        .transform(ck)
+    }
+    val (arcs2, ex2, h2) =
+      try (Await.result(arcs2F, Duration.Inf),
+        Await.result(ex2F, Duration.Inf),
+        Await.result(h2F, Duration.Inf))
+      finally pool.shutdown()
     (arcs2, ex2, h2)
   }
 

@@ -61,6 +61,28 @@ object Triangles {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** [[listing]] over precomputed sorted out-lists: for each oriented
+    * edge (a, b), every c ∈ N⁺(a) ∩ N⁺(b) closes a→b, b→c, a→c — the
+    * same rows the wedge self-join produces, but nothing Σ outdeg⁺²-
+    * sized ever crosses an exchange: the out-lists ride a byte-gated
+    * broadcast (the kclique kernel's gate — estimated bytes, not rows)
+    * and the intersection is the zero-allocation codegen'd sorted merge
+    * (SortedArrays), so the whole enumeration is one broadcast-joined
+    * codegen stage over the O(E) oriented edge set. An endpoint with no
+    * out-list closes nothing, so the inner join dropping it is exact. */
+  def listingFrom(oriented: DataFrame, olist: DataFrame): DataFrame = {
+    val st = olist.agg(functions.count(lit(1)),
+      coalesce(functions.sum(size(col("nbrs"))), lit(0L))).first()
+    val estBytes = st.getLong(1) * 8L + st.getLong(0) * 24L
+    val ol = if (estBytes <= (256L << 20)) broadcast(olist) else olist
+    oriented
+      .join(ol.select(col("src"), col("nbrs").as("na")), "src")
+      .join(ol.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(graft.functions.SortedArrays.intersect(
+          col("na"), col("nb"))).as("c"))
+  }
+
   /** Exact triangle count over the (already oriented, duplicate-free) edge
     * set. Any acyclic orientation yields the same count. */
   def countOriented(oriented: DataFrame): Long = listing(oriented).count()

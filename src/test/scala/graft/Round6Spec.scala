@@ -60,6 +60,16 @@ class Round6Spec extends AnyFunSuite {
     assert(Mining.cycle4CountFrom(sym, deg) == twice / 2)
   }
 
+  test("triangle listing via out-list intersection == wedge self-join") {
+    val o = Triangles.orientByDegree(df(randEdges)).localCheckpoint(true)
+    val ol = Mining.outLists(o).localCheckpoint(true)
+    def rows(d: DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = rows(Triangles.listing(o))
+    val b = rows(Triangles.listingFrom(o, ol))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("kclique over a shared orientation + out-lists == generic path") {
     val o = Triangles.orientByDegree(df(randEdges)).localCheckpoint(true)
     val ol = Mining.outLists(o).localCheckpoint(true)
