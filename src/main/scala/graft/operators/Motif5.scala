@@ -453,7 +453,15 @@ object Motif5 {
       .sortBy(q => (-q.k, -q.qedges.size))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    // 6 threads kept deep lazy pipelines from thrashing the scheduler
+    // (measured 3-7x per-hom inflation at 31-way); with the fold memo
+    // the jobs become stepwise-materialized and often BLOCK on a shared
+    // fold's computeIfAbsent, so a somewhat larger pool is needed to
+    // keep independent work in flight while producers materialize
+    // (measured below in OPTIMIZATION_r06.md).
+    val poolSize = sys.env.get("GRAFT_MOTIF5_POOL").map(_.toInt)
+      .getOrElse(10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val trace = sys.env.contains("GRAFT_MOTIF5_TRACE")
     // one fold memo per census call (per-JVM, rebuilt from the arc
