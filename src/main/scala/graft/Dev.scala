@@ -130,6 +130,40 @@ object Dev {
           val b = Triangles.listingFrom(o, ol).count()
           println(f"[trilist] intersect rep$r: T=$b ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
+      case "trilayout" =>
+        // Does the intersection-built listing's inherited (edge-frame)
+        // layout skew downstream consumers vs a (a,b,c)-hash layout?
+        // Same JVM, interleaved reps. usage: Dev trilayout [sfDir] [reps]
+        import org.apache.spark.sql.functions._
+        val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val reps = args.lift(2).map(_.toInt).getOrElse(3)
+        val sym = GraphOps.symmetrize(TpchGraph.edges(spark, sf))
+          .localCheckpoint(true)
+        val deg = Triangles.symDegrees(sym).localCheckpoint(true)
+        val o = Triangles.orientFromSym(sym, deg).localCheckpoint(true)
+        val ol = Mining.outLists(o).localCheckpoint(true)
+        var t0 = System.nanoTime()
+        val inherited = Triangles.listingFrom(o, ol).localCheckpoint(true)
+        println(f"ckpt inherited: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        t0 = System.nanoTime()
+        val hashed = Triangles.listingFrom(o, ol)
+          .repartition(col("a"), col("b"), col("c")).localCheckpoint(true)
+        println(f"ckpt hashed:    ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        def consume(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+          val t = System.nanoTime()
+          val x = Mining.diamondCountFrom(d)
+          println(f"[trilayout] $tag diamond=$x ${(System.nanoTime() - t) / 1e9}%.2fs")
+        }
+        def sizes(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+          val szs = d.rdd.mapPartitions(it => Iterator(it.size)).collect()
+          println(s"[trilayout] $tag parts=${szs.length} max=${szs.max} " +
+            s"min=${szs.min} avg=${szs.sum / szs.length}")
+        }
+        sizes("inherited", inherited); sizes("hashed", hashed)
+        for (r <- 1 to reps) {
+          consume(s"inherited rep$r", inherited)
+          consume(s"hashed    rep$r", hashed)
+        }
       case "motif5solo" =>
         import org.apache.spark.sql.functions._
         val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
