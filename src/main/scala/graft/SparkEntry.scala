@@ -79,10 +79,16 @@ object SparkEntry {
     dfCache.getOrElseUpdate(key(s, d, "trilist"),
       // intersection form over the shared out-lists: the Σ outdeg⁺²
       // wedge stream of Triangles.listing never crosses an exchange.
-      // (Measured: the inherited edge-frame layout is already balanced
-      // — 8 parts, max/min row ratio 1.007 at sf0.1 — so no rebalance
-      // exchange is needed before the checkpoint; Dev trilayout.)
+      // One hash exchange on the triple before the checkpoint — NOT
+      // for balance (the inherited layout is even, max/min 1.007 —
+      // Dev trilayout) but for TASK COUNT: the broadcast-joined
+      // explode inherits the AQE-coalesced edge frame's 8 partitions,
+      // so every consumer's first stage ran 8 tasks on 32 cores; the
+      // old wedge join's exchange gave consumers full-width scans.
+      // Probe minima: consumer pass 1.42-1.61 s at 32 parts vs
+      // 1.70-1.98 s at 8, times ~5 consumer scans per suite.
       Triangles.listingFrom(orientedE(s, d), olistE(s, d))
+        .repartition(col("a"), col("b"), col("c"))
         .localCheckpoint(true))
 
   // Scalar memos for the heavy mining counts: triangles/motif_3/motif_4
