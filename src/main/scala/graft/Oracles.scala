@@ -1381,6 +1381,15 @@ object Oracles {
       val i3 = Motif5.pairs.indexOf((b, c))
       s"b$i1 * b$i2 * b$i3"
     }).mkString(" + ")
+    // The `ds` key folds the sorted degree list into a base-10 integer
+    // (dl[1]*10^4 + ... below) and compares it against signatureOf's
+    // digit STRING interpolated unquoted — collision-free ONLY because
+    // connected 5-vertex degrees lie in 1..4 (single digits, leading
+    // digit nonzero). Pinned here so reuse at another pattern size
+    // fails loudly instead of silently misclassifying.
+    require(Motif5.patterns.forall(m =>
+        Motif5.signatureOf(m)._2.forall(c => c >= '1' && c <= '4')),
+      "motif5 oracle degree-digit key assumes degrees in 1..4")
     val cols = Motif5.patterns.zip(Motif5.names).map { case (m, nm) =>
       val (ec, ds, tc) = Motif5.signatureOf(m)
       s"CAST(COALESCE(SUM(CASE WHEN ec = $ec AND ds = $ds AND tri = $tc " +

@@ -318,6 +318,27 @@ object Motif5 {
       foldMemo: Option[java.util.concurrent.ConcurrentHashMap[
         String, DataFrame]] = None): Long = {
     require(pedges.nonEmpty)
+    // Precondition: the pattern must be CONNECTED — the elimination
+    // joins every vertex's factor bucket as one component, and a
+    // disconnected pattern's hom is the PRODUCT of its components'
+    // homs, which this engine does not compute (every internal call
+    // site — quotients of connected 5-patterns, the clique forms — is
+    // connected by construction). Checked up front with a clear
+    // message instead of the elimination's late "disconnected
+    // elimination bucket" failure.
+    locally {
+      val adj = pedges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val vs = pedges.flatMap(e => Seq(e._1, e._2)).toSet
+      var seen = Set(vs.head)
+      var frontier = seen
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Int])) -- seen
+        seen ++= next; frontier = next
+      }
+      require(seen == vs,
+        s"homCount requires a connected pattern, got edges $pedges")
+    }
     // Complete patterns route through the candidate-set clique kernel:
     // hom(K_k) = k! · (# k-cliques) since a clique hom can neither
     // collapse vertices nor miss an edge. The generic elimination's
